@@ -1,0 +1,122 @@
+"""Central covariance assembly: kernel matrix + noise + conditioning + Cholesky.
+
+Differentiable, jit-safe rewrite of the reference's
+``Kernel.calc_all_K_w_chofac`` (/root/reference/gpgradpy/src/kernel/Kernel.py:140-307).
+
+With the 'precon' method the regularized covariance is
+    Keta = K + diag(noise)/varK + eta * P^2,   P = diag(p),
+    p = sqrt(diag(K + diag(noise)/varK)),
+factorized via the well-conditioned correlation matrix
+    M = P^-1 (K + diag(noise)/varK) P^-1 + eta I,   Keta = P M P,
+so solves are ``P^-1 M^-1 P^-1 b`` and log det Keta = log det M + 2 sum log p
+(the reference's Cholesky-factor trick, Kernel.py:251-252).  With 'base' (and
+the rescaling methods) P = I and Keta = K + diag(noise)/varK + eta I.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..config import GpConfig
+from ..ops import kernels, linalg, rtensor
+from ..types import DataSpec, GpData, Hypers
+
+
+class KetaOps(NamedTuple):
+    """Factorized regularized covariance (correlation scale, varK excluded)."""
+    fac: linalg.CholFac     # Cholesky factor of the inner matrix M
+    pvec: jnp.ndarray       # preconditioner diagonal (ones when not precon)
+    logdet: jnp.ndarray     # log det Keta (including the P transform)
+    etaK: jnp.ndarray       # nugget actually applied
+    M: jnp.ndarray          # the factorized (well-conditioned) matrix
+    ok: jnp.ndarray         # Cholesky success flag
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Keta^-1 b."""
+        pb = (b.T / self.pvec).T
+        y = linalg.cho_solve(self.fac, pb)
+        return (y.T / self.pvec).T
+
+
+def calc_noise_vec(spec: DataSpec, data: GpData, hp: Hypers) -> jnp.ndarray:
+    """Per-datum noise variance vector, length n_data
+    (reference Kernel.calc_noise_vec, Kernel.py:309-357)."""
+    dtype = data.x.dtype
+    if spec.b_fval_zero and spec.b_fgrad_zero:
+        return jnp.zeros(spec.n_data, dtype=dtype)
+
+    if spec.known_eps_fval:
+        nv_val = data.std_fval.astype(dtype) ** 2
+    else:
+        var_fval = hp.var_fval if hp.var_fval is not None else 0.0
+        nv_val = jnp.full(spec.n_eval, 1.0, dtype=dtype) * var_fval
+
+    if not spec.use_grad:
+        return nv_val
+
+    if spec.known_eps_fgrad:
+        nv_grad = (data.std_grad.astype(dtype) ** 2).T.reshape(-1)
+    else:
+        var_fgrad = hp.var_fgrad if hp.var_fgrad is not None else 0.0
+        nv_grad = jnp.full(spec.n_grad * spec.dim, 1.0, dtype=dtype) * var_fgrad
+
+    return jnp.concatenate([nv_val, nv_grad])
+
+
+def calc_kern(cfg: GpConfig, spec: DataSpec, x: jnp.ndarray, hp: Hypers):
+    """The (gradient-enhanced) kernel matrix for the training inputs."""
+    R = rtensor.calc_rtensor(x, x)
+    idx = spec.idx_grad_arr
+    return kernels.kern_mat(cfg.kernel_type, R, hp.theta, hp.kernel,
+                            use_grad=cfg.use_grad, idx_g1=idx, idx_g2=idx)
+
+
+def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
+                  eta_const: float, varK: Optional[jnp.ndarray] = None,
+                  Kern: Optional[jnp.ndarray] = None) -> KetaOps:
+    """Assemble and factorize the regularized covariance (correlation scale).
+
+    ``varK`` scales the noise term only (Kern_w_noise = K + diag(noise)/varK,
+    Kernel.py:218); in the noise-free regime pass varK=1 (the reference's
+    ``calc_Kern_w_chofac``, Kernel.py:128-138).
+    """
+    if Kern is None:
+        Kern = calc_kern(cfg, spec, data.x, hp)
+    n_data = Kern.shape[0]
+    noise = calc_noise_vec(spec, data, hp)
+    varK_eff = 1.0 if varK is None else varK
+    Kw = Kern + jnp.diag(noise / varK_eff)
+
+    if cfg.wellcond_mtd == "precon":
+        pvec = jnp.sqrt(jnp.diagonal(Kw))
+        Kcor = Kw / (pvec[:, None] * pvec[None, :])
+        if cfg.cond_eta_is_const:
+            etaK = jnp.asarray(eta_const, dtype=Kern.dtype)
+        else:
+            etaK = (jnp.max(jnp.sum(jnp.abs(Kcor), axis=1))
+                    / (cfg.cond_max_target - 1.0))
+        M = Kcor + etaK * jnp.eye(n_data, dtype=Kern.dtype)
+        fac = linalg.cholesky_ok(M)
+        logdet = linalg.logdet_from_chol(fac) + 2.0 * jnp.sum(jnp.log(pvec))
+    else:
+        pvec = jnp.ones(n_data, dtype=Kern.dtype)
+        if cfg.cond_eta_is_const:
+            etaK = jnp.asarray(eta_const, dtype=Kern.dtype)
+        else:
+            etaK = (jnp.max(jnp.sum(jnp.abs(Kern), axis=1))
+                    / (cfg.cond_max_target - 1.0))
+        M = Kw + etaK * jnp.eye(n_data, dtype=Kern.dtype)
+        fac = linalg.cholesky_ok(M)
+        logdet = linalg.logdet_from_chol(fac)
+
+    return KetaOps(fac=fac, pvec=pvec, logdet=logdet, etaK=etaK, M=M,
+                   ok=fac.ok)
+
+
+def calc_cond(ops: KetaOps) -> jnp.ndarray:
+    """Condition number of the factorized matrix M -- for 'precon' this is
+    cond(Kcov_precon) (Kernel.py:240); otherwise cond(Kcov) up to the varK
+    scale (which cancels in the L2 condition number)."""
+    return linalg.cond_eigh(ops.M)

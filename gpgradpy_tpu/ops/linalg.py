@@ -1,0 +1,79 @@
+"""Dense linear algebra for the GP core: Cholesky with a success flag,
+triangular solves, log-determinant, and condition numbers.
+
+Replaces the reference's scipy.linalg.cho_factor/cho_solve usage
+(/root/reference/gpgradpy/src/kernel/Kernel.py:247-305) with XLA
+``lax.linalg`` primitives.  Cholesky failure cannot raise inside ``jit``;
+instead XLA returns NaNs, which we detect and expose as a boolean ``ok`` flag
+so callers can implement the reference's condition-number fallback
+(CalcLkd.py:308-311) with ``jnp.where``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+class CholFac(NamedTuple):
+    """Lower-triangular Cholesky factor with validity flag."""
+    L: jnp.ndarray
+    ok: jnp.ndarray  # scalar bool
+
+
+def cholesky_ok(A: jnp.ndarray) -> CholFac:
+    L = jnp.linalg.cholesky(A)
+    d = jnp.diagonal(L)
+    ok = jnp.all(jnp.isfinite(d)) & jnp.all(d > 0.0)
+    # sanitize so downstream solves of a failed factor stay finite
+    L = jnp.where(ok, L, jnp.eye(A.shape[0], dtype=A.dtype))
+    return CholFac(L, ok)
+
+
+def cho_solve(fac: CholFac, b: jnp.ndarray) -> jnp.ndarray:
+    y = solve_triangular(fac.L, b, lower=True)
+    return solve_triangular(fac.L, y, lower=True, trans=1)
+
+
+def logdet_from_chol(fac: CholFac) -> jnp.ndarray:
+    """log det A = 2 sum log diag(L)  (CalcLkd.py:354)."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(fac.L)))
+
+
+def solve_from_chol(fac: CholFac, b):
+    return cho_solve(fac, b)
+
+
+def cond_eigh(A: jnp.ndarray) -> jnp.ndarray:
+    """Spectral (L2) condition number of a symmetric matrix via eigh."""
+    w = jnp.linalg.eigvalsh(A)
+    w_min = jnp.maximum(w[0], jnp.finfo(A.dtype).tiny)
+    return w[-1] / w_min
+
+
+def cond_l2_w_grad(A: jnp.ndarray):
+    """L2 condition number and its adjoint matrix d(cond)/dA.
+
+    Eigenvector formula from the reference (GpHparaCon.py:179-194):
+      d cond / dA = (v_max v_max^T - cond * v_min v_min^T) / eig_min
+    The caller contracts the adjoint with dA/d(hp).
+    """
+    w, V = jnp.linalg.eigh(A)
+    eig_min = w[0]
+    eig_max = w[-1]
+    eig_min_mod = jnp.maximum(eig_min, 1e-16)
+    cond = eig_max / jnp.maximum(eig_min, jnp.finfo(A.dtype).tiny)
+    v_min = V[:, 0]
+    v_max = V[:, -1]
+    adj = (jnp.outer(v_max, v_max) - cond * jnp.outer(v_min, v_min)) / eig_min_mod
+    return cond, adj
+
+
+def cond_fro_w_chol(A: jnp.ndarray, fac: CholFac):
+    """Frobenius-norm condition number (GpHparaCon.py:237-246)."""
+    n = A.shape[0]
+    A_inv = cho_solve(fac, jnp.eye(n, dtype=A.dtype))
+    return jnp.linalg.norm(A, "fro") * jnp.linalg.norm(A_inv, "fro")
