@@ -1,0 +1,579 @@
+"""Stateful GaussianProcess facade over the functional TPU-native core.
+
+Mirrors the public API of the reference facade
+(/root/reference/gpgradpy/src/GaussianProcess.py): constructor signature,
+``set_data`` / ``set_hpara`` / ``optz_hp`` / ``setup_eval_model`` /
+``eval_model`` / ``eval_model_var``, hyperparameter containers, per-iteration
+history with npz checkpointing, data rescaling, and the option surface
+(exposed both as constructor kwargs and as mutable attributes, since the
+reference's tests configure by attribute assignment, e.g.
+unit_test/test_grad_lkd.py:109-110).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import GpConfig
+from .fit import multistart, scipy_driver
+from .fit.history import FitHistory
+from .model import conditioning, likelihood, predict, rescale
+from .ops import rtensor
+from .types import (DataSpec, GpData, HpInfo, Hypers, hp_vec_to_hypers,
+                    make_data_spec)
+
+_CFG_FIELDS = {f.name for f in dataclasses.fields(GpConfig)}
+
+
+@lru_cache(maxsize=256)
+def _jit_lkd(cfg, spec, calc_cond):
+    return jax.jit(lambda data, hp, eta: likelihood.calc_lkd(
+        cfg, spec, data, hp, eta, calc_cond=calc_cond))
+
+
+@lru_cache(maxsize=256)
+def _jit_setup_eval(cfg, spec, calc_cond):
+    return jax.jit(lambda data, hp, eta: predict.setup_eval(
+        cfg, spec, data, hp, eta, calc_cond=calc_cond))
+
+
+@lru_cache(maxsize=256)
+def _jit_eval_model(cfg, spec, calc_grad, calc_hess):
+    return jax.jit(lambda data, state, xq: predict.eval_model(
+        cfg, spec, data, state, xq, calc_grad=calc_grad, calc_hess=calc_hess))
+
+
+@lru_cache(maxsize=256)
+def _jit_eval_var(cfg, spec, calc_grad, calc_hess):
+    return jax.jit(lambda data, state, xq: predict.eval_model_var(
+        cfg, spec, data, state, xq, calc_grad=calc_grad, calc_hess=calc_hess))
+
+
+class GaussianProcess:
+
+    def __init__(self, dim: int, use_grad: bool,
+                 kernel_type: str = "SqExp",
+                 wellcond_mtd: str = "precon",
+                 mean_fun_type: str = "poly_ord_0",
+                 path_data_surr: str = "baye_data_surr",
+                 surr_name: str = "obj_",
+                 **config_overrides):
+        assert isinstance(dim, int), "dim must be an integer"
+        assert isinstance(use_grad, bool), "use_grad must be of type bool"
+        assert isinstance(kernel_type, str), "kernel_type must be of type str"
+
+        if wellcond_mtd is None:
+            wellcond_mtd = "base"
+
+        object.__setattr__(self, "_overrides", {})
+        self._overrides.update(
+            dim=dim, use_grad=use_grad, kernel_type=kernel_type,
+            wellcond_mtd=wellcond_mtd, mean_fun_type=mean_fun_type,
+            **config_overrides)
+        self._cfg_cache = None
+
+        self.path_data_surr = path_data_surr
+        self.surr_name = surr_name
+        self.path_surr_npz = path_data_surr + ".npz"
+        self.path_surr_txt = path_data_surr + ".txt"
+
+        self.spec: Optional[DataSpec] = None
+        self.data: Optional[GpData] = None
+        self.hp_vals: Optional[Hypers] = None
+        self.hp_info_optz_lkd: Optional[HpInfo] = None
+        self.history: Optional[FitHistory] = None
+        self.DataScl: Optional[rescale.Rescaling] = None
+        self._eval_state = None
+        self._hp_vals_model_setup = None
+        self._eta_Kbase = self._eta_Kgrad = self._etaK = np.nan
+        self._vmin_init = np.nan
+        self._vmin_req_grad = np.nan
+        self._time_chofac = 0.0
+        self._fit_seed = 1
+
+    # ------------------------------------------------------------------
+    # config plumbing: option surface as mutable attributes
+    # ------------------------------------------------------------------
+
+    def __setattr__(self, name, value):
+        if name in _CFG_FIELDS:
+            self._overrides[name] = value
+            object.__setattr__(self, "_cfg_cache", None)
+        else:
+            object.__setattr__(self, name, value)
+
+    def __getattr__(self, name):
+        # only called when normal lookup fails
+        if name in _CFG_FIELDS:
+            return getattr(self.cfg, name)
+        raise AttributeError(name)
+
+    @property
+    def cfg(self) -> GpConfig:
+        if self._cfg_cache is None:
+            ov = dict(self._overrides)
+            for rng in ("hp_theta_range", "hp_varK_range", "hp_var_fval_range",
+                        "hp_var_fgrad_range"):
+                if rng in ov:
+                    ov[rng] = tuple(ov[rng])
+            object.__setattr__(self, "_cfg_cache", GpConfig(**ov))
+        return self._cfg_cache
+
+    @property
+    def dtype(self):
+        return jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
+
+    # convenience mirrors of derived reference attributes
+    @property
+    def b_use_cond_cstr(self):
+        return self.cfg.b_use_cond_cstr
+
+    @property
+    def b_use_data_scl(self):
+        return self.cfg.b_use_data_scl
+
+    @property
+    def b_has_noisy_data(self):
+        return None if self.spec is None else self.spec.b_has_noisy_data
+
+    @property
+    def n_data(self):
+        return self.spec.n_data
+
+    @property
+    def n_beta_coeff(self):
+        return self.cfg.n_beta_coeff
+
+    # ------------------------------------------------------------------
+    # data ingestion (reference set_data, GaussianProcess.py:219-363)
+    # ------------------------------------------------------------------
+
+    def set_data(self, x_eval, fval, std_fval=None, grad=None, std_grad=None,
+                 bvec_use_grad=None):
+        cfg = self.cfg
+        x_eval = np.asarray(x_eval, float)
+        fval = np.atleast_1d(np.asarray(fval, float)).ravel()
+        n_eval = fval.size
+        assert x_eval.ndim == 2, "x_eval must be a 2D array"
+        assert x_eval.shape[0] == n_eval, "x_eval/fval size mismatch"
+        if grad is not None:
+            grad = np.asarray(grad, float)
+            assert cfg.use_grad, "grad provided but use_grad is False"
+        else:
+            assert not cfg.use_grad, "use_grad is True but no grad provided"
+
+        if std_fval is not None and np.any(np.isnan(std_fval)):
+            std_fval = None
+        if std_grad is not None and np.any(np.isnan(std_grad)):
+            std_grad = None
+
+        self.n_eval = n_eval
+        self._x_eval_in = x_eval
+        self._fval_in = fval
+        self._std_fval_in = None if std_fval is None else np.asarray(std_fval, float).ravel()
+        self._grad_in = grad
+        self._std_grad_in = None if std_grad is None else np.asarray(std_grad, float)
+        self.bvec_use_grad = bvec_use_grad
+
+        self.spec = make_data_spec(cfg.dim, cfg.use_grad, n_eval,
+                                   std_fval=self._std_fval_in,
+                                   std_grad=self._std_grad_in,
+                                   bvec_use_grad=bvec_use_grad)
+        self.n_grad = self.spec.n_grad
+
+        # nugget bounds (GaussianProcess.py:331-332)
+        self._eta_Kbase, self._eta_Kgrad = conditioning.calc_nugget(cfg, n_eval)
+        self._etaK = self._eta_Kgrad if cfg.use_grad else self._eta_Kbase
+        self._vmin_init = float(rtensor.calc_dist_min(jnp.asarray(x_eval))) \
+            if n_eval > 1 else np.nan
+
+        self.hp_info_optz_lkd = self.set_hp_optz_info()
+
+        # rescaling frame (GaussianProcess.py:342-363)
+        if cfg.b_use_data_scl:
+            if cfg.wellcond_mtd == "rescale_origin":
+                dist_set = conditioning.calc_mtd_rescale_origin_vreq(n_eval, cfg.dim)
+                self._vmin_req_grad = dist_set
+                method = "set_vmin"
+            elif cfg.wellcond_mtd == "rescale_eta_vary":
+                dist_set, method = cfg.vmin_rescale_eta_vary, "set_vmin"
+            elif cfg.wellcond_mtd == "dflt_vmin":
+                dist_set, method = cfg.cond_dist_min_dflt, "set_vmin"
+            else:  # dflt_vmax
+                dist_set, method = cfg.cond_dist_max_dflt, "set_vmax"
+            self.DataScl = rescale.Rescaling(x_eval, x_scl_method=method,
+                                             dist_set=dist_set)
+            self.DataScl.set_obj_data(fval, self._std_fval_in, grad,
+                                      self._std_grad_in)
+        else:
+            self.DataScl = None
+
+        self._refresh_core_data()
+        self._eval_state = None
+
+    def _refresh_core_data(self):
+        """Rebuild the jnp GpData pytree in the working (scaled) frame."""
+        dt = self.dtype
+        if self.DataScl is not None:
+            x = self.DataScl.get_scl_x()
+            f, std_f, g, std_g = self.DataScl.get_scl_obj_data()
+        else:
+            x, f = self._x_eval_in, self._fval_in
+            std_f, g, std_g = self._std_fval_in, self._grad_in, self._std_grad_in
+
+        if g is not None and self.spec.idx_grad_arr is not None:
+            g = np.asarray(g)[self.spec.idx_grad_arr]
+            if std_g is not None:
+                std_g = np.asarray(std_g)[self.spec.idx_grad_arr]
+        self.data = GpData(
+            x=jnp.asarray(x, dt), fval=jnp.asarray(f, dt),
+            std_fval=None if std_f is None else jnp.asarray(std_f, dt),
+            grad=None if g is None else jnp.asarray(g, dt),
+            std_grad=None if std_g is None else jnp.asarray(std_g, dt))
+
+    # ------------------------------------------------------------------
+    # hyperparameter containers (GpHpara)
+    # ------------------------------------------------------------------
+
+    def make_hp_class(self, beta=None, theta=None, kernel=None, varK=None,
+                      var_fval=None, var_fgrad=None) -> Hypers:
+        def arr(v):
+            return None if v is None else jnp.asarray(v, self.dtype)
+        return Hypers(beta=arr(beta), theta=arr(theta), kernel=arr(kernel),
+                      varK=arr(varK), var_fval=arr(var_fval),
+                      var_fgrad=arr(var_fgrad))
+
+    def set_custom_hp(self, beta=None, theta=None, kernel=None, varK=None,
+                      var_fval=None, var_fgrad=None):
+        if varK is not None:
+            assert varK > 0, f"varK must be positive but it is {varK}"
+        self.hp_vals = self.make_hp_class(beta, theta, kernel, varK,
+                                          var_fval, var_fgrad)
+
+    def hp_vec2dataclass(self, hp_optz_info: HpInfo, hp_vec) -> Hypers:
+        return hp_vec_to_hypers(hp_optz_info, jnp.asarray(hp_vec, self.dtype))
+
+    def set_hp_from_idx(self, i_optz: int):
+        h = self.history
+        assert h is not None, "init_optz_surr must be called first"
+        var_fval = h.hp_var_fval[i_optz]
+        var_fgrad = h.hp_var_fgrad[i_optz]
+        self.hp_vals = self.make_hp_class(
+            h.hp_beta[i_optz], h.hp_theta[i_optz],
+            None if np.isnan(h.hp_kernel[i_optz]) else h.hp_kernel[i_optz],
+            h.hp_varK[i_optz],
+            None if np.isnan(var_fval) else var_fval,
+            None if np.isnan(var_fgrad) else var_fgrad)
+
+    def set_hp_optz_info(self) -> HpInfo:
+        """Index layout for the numerically-optimized hyperparameters
+        (GpHparaOptz.setup_hp_idx4optz, GpHparaOptz.py:187-196)."""
+        cfg, spec = self.cfg, self.spec
+        return HpInfo(dim=cfg.dim,
+                      has_theta=True,
+                      has_kernel=cfg.b_optz_hp_kernel and cfg.kernel_has_hp,
+                      has_varK=spec.b_has_noisy_data,
+                      has_var_fval=spec.b_optz_var_fval,
+                      has_var_fgrad=spec.b_optz_var_fgrad,
+                      log_theta=cfg.optz_log_hp_theta,
+                      log_kernel=cfg.optz_log_hp_kernel,
+                      log_var=cfg.optz_log_hp_var)
+
+    setup_hp_idx4optz = set_hp_optz_info
+
+    def get_init_hp_vals(self) -> Hypers:
+        """Initial hyperparameters used while n_eval <= hp_const_n_eval
+        (GpHparaOptz.get_init_hp_vals, GpHparaOptz.py:198-218)."""
+        cfg, spec = self.cfg, self.spec
+        theta = cfg.hp_theta_init * np.ones(cfg.dim)
+        fval = np.asarray(self.data.fval)
+        beta = np.zeros(cfg.n_beta_coeff)
+        beta[0] = float(np.mean(fval))
+        var_fval = None if spec.known_eps_fval else cfg.hp_var_fval_init
+        var_fgrad = (None if (not cfg.use_grad or spec.known_eps_fgrad)
+                     else cfg.hp_var_fgrad_init)
+        return self.make_hp_class(beta, theta, cfg.hp_kernel_default,
+                                  cfg.hp_varK_init, var_fval, var_fgrad)
+
+    # ------------------------------------------------------------------
+    # likelihood entry points (CalcLkd.calc_lkd_all equivalents)
+    # ------------------------------------------------------------------
+
+    def calc_lkd_all(self, hp_vals: Hypers, calc_lkd=True, calc_cond=False,
+                     calc_grad=False):
+        """Returns (LkdInfo, b_chofac_good)."""
+        fn = _jit_lkd(self.cfg, self.spec, bool(calc_cond))
+        lkd = fn(self.data, hp_vals, self._eta_for_core())
+        return lkd, bool(lkd.ok)
+
+    def _eta_for_core(self) -> float:
+        return float(self._etaK)
+
+    # ------------------------------------------------------------------
+    # training (set_hpara / optz_hp)
+    # ------------------------------------------------------------------
+
+    def init_optz_surr(self, n_optz_max: int):
+        self.history = FitHistory(n_optz_max, self.cfg.dim,
+                                  self.cfg.n_beta_coeff)
+
+    def finish_optz_surr(self, n_optz_final: int):
+        assert self.history is not None
+        self.history.finish(n_optz_final)
+
+    def export_data_surr(self, save2file=True, file2save=None):
+        assert self.history is not None
+        path = (file2save or self.path_surr_npz) if save2file else None
+        return self.history.export(path or "", self.surr_name) \
+            if path else self.history.to_dict(self.surr_name)
+
+    def load_data_surr(self, all_data=None, path=None):
+        assert self.history is not None
+        self.history.load(all_data if all_data is not None
+                          else (path or self.path_surr_npz), self.surr_name)
+
+    def store_new_para_surr(self, i_optz, hp_vals, surr_optz_info=None,
+                            cond_val=np.nan, time_hp_optz=np.nan,
+                            time_chofac=np.nan, time_pick_hp0=np.nan,
+                            ln_lkd=np.nan):
+        self.hp_vals = hp_vals
+        if self.history is None:
+            return
+        self.history.store(
+            i_optz, hp_vals, surr_optz_info, cond_val, self.cfg.cond_max,
+            self._eta_Kbase, self._eta_Kgrad, self.cfg.use_grad,
+            self._vmin_init, self._vmin_req_grad,
+            None if self.DataScl is None else self.DataScl.xvec_scale,
+            self._fval_in, ln_lkd, time_hp_optz, time_chofac, time_pick_hp0)
+
+    def optz_hp(self, i_optz: int):
+        """One hyperparameter-training round (GpHparaOptz.optz_hp,
+        GpHparaOptz.py:140-185)."""
+        cfg, spec = self.cfg, self.spec
+        if self.n_eval <= cfg.hp_const_n_eval:
+            hp_vals = self.get_init_hp_vals()
+            lkd, _ = self.calc_lkd_all(hp_vals, calc_cond=True)
+            self.store_new_para_surr(i_optz, hp_vals, None, float(lkd.cond))
+            return
+
+        t0 = time.time()
+        if "rescale" in cfg.wellcond_mtd and cfg.cond_vreq_max_iter > 1:
+            fit = self._optz_hp_rescale_loop(i_optz)
+        else:
+            fit = self._run_fit(i_optz)
+        t_optz = time.time() - t0
+
+        hp_vals = self.hp_vec2dataclass(self.hp_info_optz_lkd, fit.hp_vec)
+        hp_vals = self._closed_form(hp_vals)
+        self.store_new_para_surr(i_optz, hp_vals, fit.info, float(fit.cond),
+                                 time_hp_optz=t_optz,
+                                 ln_lkd=-float(fit.neg_lkd))
+
+    def _run_fit(self, i_optz):
+        cfg = self.cfg
+        use_scipy = (cfg.optz_mtd in ("slsqp", "SLSQP", "trust-constr")
+                     or cfg.b_use_cond_cstr)
+        fitter = scipy_driver.fit_map_scipy if use_scipy else multistart.fit_map
+        return fitter(cfg, self.spec, self.hp_info_optz_lkd, self.data,
+                      self._eta_for_core(), history=self.history,
+                      i_optz=i_optz, seed=self._fit_seed)
+
+    def _optz_hp_rescale_loop(self, i_optz):
+        """Rescaling fixed-point outer loop
+        (OptzLkd.optz_hp_max_lkd_mtd_rescale, OptzLkd.py:116-183)."""
+        cfg = self.cfg
+        fit = self._run_fit(i_optz)
+        if self.n_eval <= 1:
+            return fit
+
+        info = self.hp_info_optz_lkd
+        max_iter = cfg.cond_vreq_max_iter
+        theta_all = np.full((max_iter, cfg.dim), np.nan)
+        dist_all = np.full(max_iter, np.nan)
+        scale_all = np.full((max_iter, cfg.dim), np.nan)
+
+        best_hp = np.asarray(fit.hp_vec)
+        theta_new = best_hp[:cfg.dim]          # log10 theta
+        cnt = 0
+        while True:
+            theta_new, est_dist, xvec_new = self._rescale_w_theta_sol(theta_new)
+            theta_all[cnt] = theta_new
+            dist_all[cnt] = est_dist
+            scale_all[cnt] = xvec_new
+            if cnt == max_iter - 1 or est_dist < cfg.cond_vreq_iter_tol:
+                break
+            best_hp = best_hp.copy()
+            best_hp[:cfg.dim] = theta_new
+            fit = self._run_fit(i_optz)
+            best_hp = np.asarray(fit.hp_vec)
+            theta_new = best_hp[:cfg.dim]
+            cnt += 1
+
+        idx = int(np.nanargmin(dist_all))
+        self.DataScl.set_xscale_data(xvec_scale_in=scale_all[idx])
+        self._refresh_core_data()
+        final_hp = best_hp.copy()
+        final_hp[:cfg.dim] = theta_all[idx]
+        return fit._replace(hp_vec=jnp.asarray(final_hp))
+
+    def _rescale_w_theta_sol(self, hp_theta_log):
+        """GpWellCondVreq.rescaling_data_w_theta_sol (GpWellCond.py:42-76)."""
+        cfg = self.cfg
+        if cfg.optz_log_hp_theta:
+            theta_sol = 10.0 ** np.asarray(hp_theta_log)
+            log_theta = np.asarray(hp_theta_log)
+        else:
+            theta_sol = np.asarray(hp_theta_log)
+            log_theta = np.log10(theta_sol)
+        vreq = conditioning.calc_mtd_rescale_origin_vreq(self.n_eval, cfg.dim)
+
+        x_scl = self.DataScl.get_scl_x()
+        xvec_scale_v1 = self.DataScl.xvec_scale
+        theta_star = 10.0 ** np.mean(log_theta)
+        xvec_v2 = np.sqrt(theta_sol / theta_star)
+        x_v2 = x_scl * xvec_v2[None, :]
+        d2 = np.sqrt(np.sum((x_v2[:, None] - x_v2[None, :]) ** 2, -1))
+        np.fill_diagonal(d2, np.inf)
+        min_dist = max(float(d2.min()), 1e-15)
+        correction = vreq / min_dist
+        xvec_new = xvec_scale_v1 * xvec_v2 * correction
+
+        dist2 = (np.dot(log_theta, log_theta)
+                 - np.dot(log_theta, np.ones(cfg.dim)) ** 2 / cfg.dim)
+        theta_est = np.ones(cfg.dim) * theta_star / correction ** 2
+        theta_out = (np.log10(theta_est) if cfg.optz_log_hp_theta else theta_est)
+        return theta_out, dist2, xvec_new
+
+    def _closed_form(self, hp_vals: Hypers) -> Hypers:
+        lkd, _ = self.calc_lkd_all(hp_vals, calc_lkd=False)
+        varK = hp_vals.varK if self.spec.b_has_noisy_data else lkd.varK
+        return hp_vals._replace(beta=lkd.beta, varK=varK)
+
+    def set_hpara(self, method2set_hp: str, i_optz: int, hp_vals=None,
+                  calc_cond: bool = False):
+        """(GaussianProcess.set_hpara, GaussianProcess.py:365-395)."""
+        assert isinstance(method2set_hp, str)
+        if method2set_hp == "stored":
+            assert i_optz >= 0
+            self.set_hp_from_idx(i_optz)
+        elif method2set_hp == "optz":
+            self.optz_hp(i_optz)
+        elif method2set_hp == "current":
+            assert self.hp_vals is not None
+        elif method2set_hp == "set":
+            assert hp_vals is not None
+            self.hp_vals = hp_vals
+        else:
+            raise ValueError(f"Unknown method2set_hp = {method2set_hp}")
+        if self.hp_vals.beta is None or self.hp_vals.varK is None:
+            self.hp_vals = self._closed_form(self.hp_vals)
+        self.setup_eval_model(calc_cond=calc_cond)
+
+    # ------------------------------------------------------------------
+    # prediction (GpEvalModel equivalents)
+    # ------------------------------------------------------------------
+
+    def setup_eval_model(self, calc_cond: bool = False):
+        assert self.hp_vals is not None, "hyperparameters not set"
+        self._hp_vals_model_setup = self.hp_vals
+        fn = _jit_setup_eval(self.cfg, self.spec, bool(calc_cond))
+        self._eval_state = fn(self.data, self.hp_vals, self._eta_for_core())
+        self.condK = (float(self._eval_state.cond) if calc_cond else None)
+
+    def _check_eval_ready(self):
+        assert self._eval_state is not None, \
+            "setup_eval_model() must be called before eval_model()"
+        assert self.hp_vals is self._hp_vals_model_setup, \
+            "Cannot change hp_vals between setup_eval_model() and eval_model()"
+
+    def eval_model(self, x2model_in, calc_grad=False, calc_hess=False,
+                   squeeze_nx=False):
+        self._check_eval_ready()
+        if calc_hess:
+            assert calc_grad, "calc_hess requires calc_grad"
+        xq = np.atleast_2d(np.asarray(x2model_in, float))
+        nx = xq.shape[0]
+        if squeeze_nx:
+            assert nx == 1
+
+        if self.DataScl is not None:
+            xq = self.DataScl.x_init_2_scl(xq)
+
+        fn = _jit_eval_model(self.cfg, self.spec, bool(calc_grad),
+                             bool(calc_hess))
+        mu, sig, dmu, dsig, d2mu, d2sig = fn(self.data, self._eval_state,
+                                             jnp.asarray(xq, self.dtype))
+        if self.DataScl is not None:
+            mu, sig, dmu, dsig, d2mu, d2sig = self.DataScl.obj_scl_2_init(
+                mu, sig, dmu, dsig, d2mu, d2sig)
+
+        out = [np.asarray(v) if v is not None else None
+               for v in (mu, sig, dmu, dsig, d2mu, d2sig)]
+        if squeeze_nx:
+            out = [None if v is None else v[0] for v in out]
+        return tuple(out)
+
+    def eval_model_var(self, x2model_in, calc_grad=False, calc_hess=False,
+                       squeeze_nx=False):
+        self._check_eval_ready()
+        assert self.DataScl is None, \
+            "eval_model_var() is not setup for rescaled data"
+        xq = np.atleast_2d(np.asarray(x2model_in, float))
+        if squeeze_nx:
+            assert xq.shape[0] == 1
+        fn = _jit_eval_var(self.cfg, self.spec, bool(calc_grad),
+                           bool(calc_hess))
+        sig2, dsig2, d2sig2 = fn(self.data, self._eval_state,
+                                 jnp.asarray(xq, self.dtype))
+        out = [np.asarray(v) if v is not None else None
+               for v in (sig2, dsig2, d2sig2)]
+        if squeeze_nx:
+            out = [None if v is None else v[0] for v in out]
+        return tuple(out)
+
+    # ------------------------------------------------------------------
+    # frames / data access (GaussianProcess.py:399-457)
+    # ------------------------------------------------------------------
+
+    def get_scl_x_w_dist(self):
+        x = np.asarray(self.data.x)
+        return x, np.asarray(rtensor.calc_rtensor(self.data.x, self.data.x))
+
+    def x_init_2_scl(self, x):
+        return x if self.DataScl is None else self.DataScl.x_init_2_scl(x)
+
+    def x_scl_2_init(self, x):
+        return x if self.DataScl is None else self.DataScl.x_scl_2_init(x)
+
+    def get_init_eval_data(self):
+        return self._fval_in, self._std_fval_in, self._grad_in, self._std_grad_in
+
+    def get_scl_eval_data(self):
+        if self.DataScl is None:
+            return self.get_init_eval_data()
+        return self.DataScl.get_scl_obj_data()
+
+    def data_init_2_scl(self, *args, **kw):
+        if self.DataScl is None:
+            return args if args else None
+        return self.DataScl.obj_init_2_scl(*args, **kw)
+
+    def data_scl_2_init(self, *args, **kw):
+        if self.DataScl is None:
+            return args if args else None
+        return self.DataScl.obj_scl_2_init(*args, **kw)
+
+    # ------------------------------------------------------------------
+    # observability (GpInfo equivalent; utils/info.py renders the tables)
+    # ------------------------------------------------------------------
+
+    def get_txt_info_surr(self, i_max: Optional[int] = None) -> str:
+        from .utils.info import get_txt_info_surr
+        return get_txt_info_surr(self, i_max)

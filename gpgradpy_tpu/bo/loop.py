@@ -1,0 +1,202 @@
+"""Gradient-enhanced Bayesian-optimization loop.
+
+The reference ships only the surrogate engine, the acquisition definitions
+(plt/plt_acq.py:36-41), the per-iteration history machinery (GpParaDef) and
+the result traces (results/data_paper_precon); the BO outer loop itself is
+external (SURVEY.md section 2.2).  Here it is a first-class module: initial
+LHS design -> fit GP -> multistart gradient-based acquisition optimization
+(vmapped L-BFGS through the surrogate's analytic dmu/dsig) -> evaluate ->
+append, with result traces written in the exact npz schema the reference's
+PltOptzResults loader expects (merit_all / opt_all / fsb_all (+_wo_noise),
+shape (n_starts, n_iter), results/PltOptzResults.py:44-57).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import lru_cache
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import GaussianProcess
+from ..fit import lbfgs, lhs
+from ..model import predict
+from . import acquisition
+
+
+class BoTrace(NamedTuple):
+    x_all: np.ndarray        # (n_iter, dim) evaluated points
+    merit_all: np.ndarray    # (n_iter,) objective values
+    opt_all: np.ndarray      # (n_iter,) ||grad f||_2 (optimality)
+    fsb_all: np.ndarray      # (n_iter,) feasibility (1.0 = feasible)
+    time_iter: np.ndarray
+
+
+@lru_cache(maxsize=64)
+def _jit_acq_solver(cfg, spec, acq_name, beta, max_iter):
+    """Batched acquisition minimization for one (cfg, spec) signature."""
+
+    def run(x0_all, lb, ub, data, state, fval_best):
+        def acq_and_grad(x):
+            mu, sig, dmu, dsig, _, _ = predict.eval_model(
+                cfg, spec, data, state, x[None, :], calc_grad=True)
+            if acq_name == "ucb":
+                a, da = acquisition.ucb(mu, sig, dmu, dsig, beta=beta)
+            else:
+                a, da = acquisition.expected_improvement(
+                    mu, sig, fval_best, dmu, dsig)
+            return a[0], da[0]
+
+        return lbfgs.lbfgs_box_multistart(acq_and_grad, x0_all, lb, ub,
+                                          max_iter=max_iter)
+
+    return jax.jit(run)
+
+
+def propose_next(gp: GaussianProcess, lb, ub, fval_best,
+                 acq: str = "ei", beta: float = 2.0,
+                 n_acq_x0: int = 16, acq_iter_max: int = 100,
+                 seed: int = 0) -> np.ndarray:
+    """Optimize the acquisition over the box [lb, ub] with multistart
+    gradient-based L-BFGS; returns the proposed point (init frame)."""
+    lb = np.asarray(lb, float)
+    ub = np.asarray(ub, float)
+    # work in the scaled frame if rescaling is active
+    if gp.DataScl is not None:
+        lb_s, ub_s = gp.DataScl.boxcon_init_2_scl(lb, ub)
+        fb = gp.DataScl.obj_init_2_scl(fval_best)[0]
+    else:
+        lb_s, ub_s, fb = lb, ub, fval_best
+
+    x0 = lhs.lhs_sample(n_acq_x0, lb_s, ub_s, seed=seed)
+    # include the current best data point as a start
+    i_best = int(np.argmin(np.asarray(gp.data.fval)))
+    x0 = np.vstack([x0, np.asarray(gp.data.x)[i_best][None, :]])
+
+    solver = _jit_acq_solver(gp.cfg, gp.spec, acq, beta, acq_iter_max)
+    res = solver(jnp.asarray(x0, gp.dtype), jnp.asarray(lb_s, gp.dtype),
+                 jnp.asarray(ub_s, gp.dtype), gp.data, gp._eval_state,
+                 jnp.asarray(fb, gp.dtype))
+    fvals = np.array(res.f, copy=True)
+    fvals[~np.isfinite(fvals)] = np.inf
+    x_new_s = np.asarray(res.x)[int(np.argmin(fvals))]
+    if gp.DataScl is not None:
+        x_new_s = gp.DataScl.x_scl_2_init(x_new_s)
+    return np.clip(x_new_s, lb, ub)
+
+
+def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
+           dim: Optional[int] = None, n_init: int = 5,
+           kernel_type: str = "SqExp", wellcond_mtd: str = "precon",
+           use_grad: bool = True, acq: str = "ei", beta: float = 2.0,
+           noise_std: float = 0.0, seed: int = 0,
+           gp_options: Optional[dict] = None, verbose: bool = False) -> BoTrace:
+    """One BO run.  ``obj_fun(x) -> (f, grad)`` with x of shape (m, dim).
+
+    Per iteration: GP.set_data -> set_hpara('optz', i) -> propose_next ->
+    evaluate truth -> append (the reconstructed outer loop of SURVEY.md
+    section 3.5)."""
+    lb = np.asarray(lb, float)
+    ub = np.asarray(ub, float)
+    dim = lb.size if dim is None else dim
+    rng = np.random.default_rng(seed)
+
+    x_data = lhs.lhs_sample(n_init, lb, ub, seed=seed)
+    f_data, g_data = obj_fun(x_data)
+    if noise_std > 0:
+        f_data = f_data + noise_std * rng.standard_normal(f_data.shape)
+        g_data = g_data + noise_std * rng.standard_normal(g_data.shape)
+
+    gp = GaussianProcess(dim, use_grad, kernel_type, wellcond_mtd,
+                         **(gp_options or {}))
+    gp.init_optz_surr(n_iter + 1)
+
+    n_total = n_init + n_iter
+    x_all = np.full((n_total, dim), np.nan)
+    merit = np.full(n_total, np.nan)
+    opt = np.full(n_total, np.nan)
+    fsb = np.ones(n_total)
+    t_iter = np.full(n_total, np.nan)
+    x_all[:n_init] = x_data
+    merit[:n_init] = f_data
+    opt[:n_init] = np.linalg.norm(g_data, axis=1)
+
+    std_f = np.full(n_init, noise_std) if noise_std > 0 else np.zeros(n_init)
+    std_g = (np.full((n_init, dim), noise_std) if noise_std > 0
+             else np.zeros((n_init, dim)))
+
+    for i in range(n_iter):
+        t0 = time.time()
+        gp.set_data(x_data, f_data, std_f,
+                    g_data if use_grad else None,
+                    std_g if use_grad else None)
+        gp.set_hpara("optz", i)
+
+        fbest = float(np.min(f_data))
+        x_new = propose_next(gp, lb, ub, fbest, acq=acq, beta=beta,
+                             seed=seed + i)
+        f_new, g_new = obj_fun(x_new[None, :])
+        if noise_std > 0:
+            f_new = f_new + noise_std * rng.standard_normal(1)
+            g_new = g_new + noise_std * rng.standard_normal((1, dim))
+
+        k = n_init + i
+        x_all[k] = x_new
+        merit[k] = f_new[0]
+        opt[k] = np.linalg.norm(g_new[0])
+        t_iter[k] = time.time() - t0
+        if verbose:
+            print(f"BO iter {i}: f = {f_new[0]:.4e}, "
+                  f"|grad| = {opt[k]:.3e}, best = {min(fbest, f_new[0]):.4e}")
+
+        x_data = np.vstack([x_data, x_new[None, :]])
+        f_data = np.concatenate([f_data, f_new])
+        g_data = np.vstack([g_data, g_new])
+        std_f = np.concatenate([std_f, [noise_std if noise_std > 0 else 0.0]])
+        std_g = np.vstack([std_g, np.full((1, dim),
+                                          noise_std if noise_std > 0 else 0.0)])
+
+    return BoTrace(x_all=x_all, merit_all=merit, opt_all=opt, fsb_all=fsb,
+                   time_iter=t_iter)
+
+
+def run_bo_multistart(obj_fun: Callable, lb, ub, n_iter: int, n_x0: int = 5,
+                      save_path: Optional[str] = None, seed0: int = 0,
+                      obj_fun_wo_noise: Optional[Callable] = None,
+                      **bo_kw) -> dict:
+    """n_x0 independent BO runs; writes the PltOptzResults npz schema
+    (x0_all (n_x0, n_iter, dim), merit_all / opt_all / fsb_all (+_wo_noise)
+    of shape (n_x0, n_iter)) for direct comparison against the bundled
+    reference traces."""
+    traces = [run_bo(obj_fun, lb, ub, n_iter, seed=seed0 + j, **bo_kw)
+              for j in range(n_x0)]
+    n_total = traces[0].merit_all.size
+    dim = traces[0].x_all.shape[1]
+
+    out = {
+        "x0_all": np.stack([t.x_all for t in traces]),
+        "merit_all": np.stack([t.merit_all for t in traces]),
+        "opt_all": np.stack([t.opt_all for t in traces]),
+        "fsb_all": np.stack([t.fsb_all for t in traces]),
+    }
+    if obj_fun_wo_noise is not None:
+        merit_wo = np.full((n_x0, n_total), np.nan)
+        opt_wo = np.full((n_x0, n_total), np.nan)
+        for j, t in enumerate(traces):
+            f, g = obj_fun_wo_noise(t.x_all)
+            merit_wo[j] = f
+            opt_wo[j] = np.linalg.norm(g, axis=1)
+        out["merit_wo_noise_all"] = merit_wo
+        out["opt_wo_noise_all"] = opt_wo
+        out["fsb_wo_noise_all"] = out["fsb_all"]
+    else:
+        out["merit_wo_noise_all"] = out["merit_all"]
+        out["opt_wo_noise_all"] = out["opt_all"]
+        out["fsb_wo_noise_all"] = out["fsb_all"]
+
+    if save_path is not None:
+        np.savez(save_path, **out)
+    return out

@@ -1,0 +1,181 @@
+"""Multistart MAP fitting of the hyperparameters.
+
+Start-point policy (LHS around the median of recent hyperparameters,
+'hp_best' pre-scan) mirrors /root/reference/gpgradpy/src/optz/GpHparaX0.py;
+the optimization itself replaces the reference's sequential scipy loop
+(OptzLkd.py:185-333) with a single vmapped box-constrained L-BFGS: all
+multistarts (and, with 'hp_best', all 40 pre-scan likelihood evaluations)
+run as one batched XLA program on the accelerator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GpConfig
+from ..model import likelihood
+from ..types import DataSpec, GpData, HpInfo
+from . import lbfgs, lhs
+
+
+class HpBounds(NamedTuple):
+    lhs_lb: np.ndarray
+    lhs_ub: np.ndarray
+    box_lb: np.ndarray
+    box_ub: np.ndarray
+
+
+def _median_range(past_vals: Optional[np.ndarray], vrange, lhs_f, box_f):
+    """Per-hyperparameter LHS/box bounds around the median of recent values
+    (GpHparaX0.py:87-150)."""
+    if past_vals is None or past_vals.size == 0:
+        med = np.sqrt(vrange[0] * vrange[1])  # geometric centre of the range
+    else:
+        med = np.median(past_vals, axis=0)
+    med = np.clip(med, vrange[0], vrange[1])
+    return (np.maximum(med / lhs_f, vrange[0]), np.minimum(med * lhs_f, vrange[1]),
+            np.maximum(med / box_f, vrange[0]), np.minimum(med * box_f, vrange[1]))
+
+
+def get_hp_bounds(cfg: GpConfig, info: HpInfo, history=None,
+                  i_optz: int = 0) -> HpBounds:
+    """LHS and box bounds in optimization (log) space
+    (GpHparaX0.get_hp_x0_lhs_median, GpHparaX0.py:67-183)."""
+    lhs_f = cfg.hp_lhs_bound_factor
+    box_f = cfg.hp_box_bound_factor
+    idx_min = max(0, i_optz - cfg.hp_median_n_idx)
+
+    def past(name):
+        if history is None or i_optz <= idx_min:
+            return None
+        arr = np.asarray(getattr(history, name)[idx_min:i_optz], float)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        arr = arr[np.all(np.isfinite(arr), axis=1)]
+        return arr if arr.size else None
+
+    cols = []
+    if info.has_theta:
+        th_past = past("hp_theta")
+        if th_past is None:
+            th_past = np.full((1, cfg.dim), cfg.hp_theta_init)
+        lo_l, hi_l, lo_b, hi_b = _median_range(th_past, cfg.hp_theta_range,
+                                               lhs_f, box_f)
+        cols.append(np.stack([lo_l * np.ones(cfg.dim), hi_l * np.ones(cfg.dim),
+                              lo_b * np.ones(cfg.dim), hi_b * np.ones(cfg.dim)], 1))
+
+    def scalar_bounds(name, vrange, init):
+        arr = past(name)
+        if arr is None:
+            arr = np.array([[np.clip(init, *vrange)]])
+        lo_l, hi_l, lo_b, hi_b = _median_range(arr, vrange, lhs_f, box_f)
+        return np.stack([lo_l, hi_l, lo_b, hi_b], 1)
+
+    if info.has_kernel:
+        cols.append(scalar_bounds("hp_kernel", cfg.hp_kernel_range,
+                                  cfg.hp_kernel_default))
+    if info.has_varK:
+        cols.append(scalar_bounds("hp_varK", cfg.hp_varK_range, cfg.hp_varK_init))
+    if info.has_var_fval:
+        cols.append(scalar_bounds("hp_var_fval", cfg.hp_var_fval_range,
+                                  max(cfg.hp_var_fval_init, cfg.hp_var_fval_range[0])))
+    if info.has_var_fgrad:
+        cols.append(scalar_bounds("hp_var_fgrad", cfg.hp_var_fgrad_range,
+                                  max(cfg.hp_var_fgrad_init, cfg.hp_var_fgrad_range[0])))
+
+    b = np.concatenate(cols, axis=0)
+    lhs_lb, lhs_ub, box_lb, box_ub = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+
+    bvec = info.bvec_log
+    for arr in (lhs_lb, lhs_ub, box_lb, box_ub):
+        arr[bvec] = np.log10(arr[bvec])
+    return HpBounds(lhs_lb, lhs_ub, box_lb, box_ub)
+
+
+class FitResult(NamedTuple):
+    hp_vec: jnp.ndarray        # best hp in optimization space
+    neg_lkd: jnp.ndarray
+    cond: jnp.ndarray
+    info: dict                 # optimizer telemetry (host-side)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _jit_batch_nll(cfg: GpConfig, spec: DataSpec, info: HpInfo):
+    def run(x0, data, eta):
+        def nll(v):
+            val, _ = likelihood.neg_mll(cfg, spec, info, data, v, eta)
+            return val
+        return jax.vmap(nll)(x0)
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=256)
+def _jit_solver(cfg: GpConfig, spec: DataSpec, info: HpInfo, max_iter: int,
+                tol_f: float):
+    def run(x0_all, lb, ub, data, eta):
+        def obj(v):
+            val, g, _ = likelihood.neg_mll_and_grad(cfg, spec, info, data, v,
+                                                    eta)
+            return val, g
+        return lbfgs.lbfgs_box_multistart(obj, x0_all, lb, ub,
+                                          max_iter=max_iter, tol_f=tol_f)
+    return jax.jit(run)
+
+
+def select_hp_x0(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
+                 eta_const: float, bounds: HpBounds, seed: int = 1):
+    """Start selection (GpHparaX0.select_hp_optz_x0, GpHparaX0.py:16-65):
+    'lhs' -> optz_n_x0 LHS starts; 'hp_best' -> evaluate the MLL at
+    lkd_hp_best_n_eval LHS points (vmapped) and keep the argmax."""
+    if cfg.lkd_optz_start_mtd == "lhs":
+        x0 = lhs.lhs_sample(cfg.optz_n_x0, bounds.lhs_lb, bounds.lhs_ub, seed)
+        return jnp.asarray(x0)
+    if cfg.lkd_optz_start_mtd != "hp_best":
+        raise ValueError(f"Unknown lkd_optz_start_mtd: {cfg.lkd_optz_start_mtd}")
+
+    n0 = cfg.lkd_hp_best_n_eval
+    x0 = jnp.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub, seed))
+    vals = _jit_batch_nll(cfg, spec, info)(x0, data, eta_const)
+    vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+    return x0[jnp.argmin(vals)][None, :]
+
+
+def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
+            eta_const: float, history=None, i_optz: int = 0,
+            seed: int = 1) -> FitResult:
+    """One full MAP hyperparameter fit: bounds -> starts -> vmapped L-BFGS ->
+    best solution + final condition number (GpHparaOptz.optz_hp +
+    OptzLkd.optz_hp_max_lkd semantics)."""
+    bounds = get_hp_bounds(cfg, info, history, i_optz)
+    x0_all = select_hp_x0(cfg, spec, info, data, eta_const, bounds, seed)
+
+    lb = jnp.asarray(bounds.box_lb)
+    ub = jnp.asarray(bounds.box_ub)
+
+    solver = _jit_solver(cfg, spec, info, cfg.optz_iter_max, cfg.optz_tol_obj)
+    res = solver(x0_all, lb, ub, data, eta_const)
+    fvals = jnp.where(jnp.isfinite(res.f), res.f, jnp.inf)
+    best = jnp.argmin(fvals)
+    best_hp = res.x[best]
+
+    lkd = likelihood.calc_lkd_hp_vec(cfg, spec, info, data, best_hp, eta_const,
+                                     calc_cond=True)
+    tele = {
+        "hp_optz_success": float(jnp.mean(res.converged)),
+        "hp_optz_iter_mean": float(jnp.mean(res.n_iter)),
+        "hp_optz_iter_max": float(jnp.max(res.n_iter)),
+        "hp_optz_con_good": 1.0,
+        "optz_n_cho_fail": 0,
+        "optz_n_cond2big": 0,
+        "optz_max_init_cond": float("nan"),
+    }
+    return FitResult(hp_vec=best_hp, neg_lkd=res.f[best], cond=lkd.cond,
+                     info=tele)
