@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Benchmark: gradient-enhanced GP MAP fit wall-clock vs the reference.
+
+Prints ONE JSON line:
+  {"metric": "gp_fit_wall_s", "value": <ours seconds>, "unit": "s",
+   "vs_baseline": <reference_seconds / ours_seconds>}
+
+Problem: Rosenbrock d=4, n_eval=64 (n_data = 320), gradient-enhanced,
+noise-free, 'precon' conditioning -- one full hyperparameter training round
+(hp_best 40-point scan + bounded optimization), the reference's headline
+workload (its BO loop runs exactly this fit every iteration).
+
+Ours runs on the default JAX device (TPU under the driver) in float32 with
+the preconditioned covariance (TPUs have no native f64; the precon scheme is
+what makes f32 viable -- SURVEY.md section 7 hard part (f)).  The baseline is
+the reference library itself executed on host CPU in float64 (numba stubbed
+to plain numpy -- its hot loops are dimension-loops over vectorized numpy
+slices, so the stub penalty is small; scipy SLSQP and cho_factor dominate).
+A predictive-quality gate (held-out RMSE within 2x of the reference's)
+guards against benchmarking a broken fit.
+
+Extra diagnostics (NUTS samples/s, Cholesky timing, MLL eval throughput) go
+to stderr with --verbose; the stdout line stays machine-readable.
+"""
+
+import argparse
+import json
+import sys
+import time
+import warnings
+
+import numpy as np
+
+REF_BASELINE_CACHE = "/tmp/gpgradpy_ref_baseline.json"
+
+
+def _problem(n=64, d=4, seed=0):
+    from gpgradpy_tpu.bo.problems import rosenbrock
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-2, 2, (n, d))
+    f, g = rosenbrock(x)
+    x_test = rng.uniform(-2, 2, (128, d))
+    f_test, _ = rosenbrock(x_test)
+    return x, f, g, x_test, f_test
+
+
+def bench_ours(n=64, d=4, repeats=3, verbose=False):
+    import jax
+    from gpgradpy_tpu import GaussianProcess
+
+    x, f, g, x_test, f_test = _problem(n, d)
+    platform = jax.devices()[0].platform
+    dtype = "float32" if platform != "cpu" else "float64"
+    cond_t = 1e6 if dtype == "float32" else 1e10
+
+    def one_fit(seed):
+        gp = GaussianProcess(d, True, "SqExp", "precon", dtype=dtype,
+                             cond_max_target=cond_t)
+        gp._fit_seed = seed
+        gp.init_optz_surr(2)
+        gp.set_data(x, f, np.zeros(n), g, np.zeros((n, d)))
+        t0 = time.time()
+        gp.set_hpara("optz", 0)
+        dt = time.time() - t0
+        return gp, dt
+
+    gp, t_compile = one_fit(1)          # includes compilation
+    times = []
+    for r in range(repeats):
+        gp, dt = one_fit(1)
+        times.append(dt)
+    t_warm = min(times)
+
+    mu = gp.eval_model(x_test)[0]
+    rmse = float(np.sqrt(np.mean((mu - f_test) ** 2)))
+    if verbose:
+        print(f"[ours] platform={platform} dtype={dtype} "
+              f"compile+run={t_compile:.2f}s warm={t_warm:.3f}s "
+              f"rmse={rmse:.4g}", file=sys.stderr)
+    return t_warm, rmse, platform
+
+
+def bench_reference(n=64, d=4, use_cache=True, verbose=False):
+    import json as _json
+    import os
+    key = f"ref_fit_s_n{n}_d{d}"
+    if use_cache and os.path.isfile(REF_BASELINE_CACHE):
+        with open(REF_BASELINE_CACHE) as fh:
+            cache = _json.load(fh)
+        if key in cache:
+            return cache[key]["time"], cache[key]["rmse"]
+
+    warnings.filterwarnings("ignore")
+    sys.path.insert(0, "tests")
+    from ref_shim import load_reference
+    GP = load_reference()
+    if GP is None:
+        return float("nan"), float("nan")
+
+    x, f, g, x_test, f_test = _problem(n, d)
+    gp = GP(d, True, "SqExp", "precon")
+    gp.set_data(x, f, np.zeros(n), g, np.zeros((n, d)))
+    gp.init_optz_surr(3)
+    gp.store_new_para_surr(0, gp.get_init_hp_vals())
+    t0 = time.time()
+    gp.optz_hp(1)
+    t_ref = time.time() - t0
+    gp.setup_eval_model()
+    mu = gp.eval_model(x_test)[0]
+    rmse = float(np.sqrt(np.mean((mu - f_test) ** 2)))
+    if verbose:
+        print(f"[reference] fit={t_ref:.2f}s rmse={rmse:.4g}",
+              file=sys.stderr)
+    cache = {}
+    if os.path.isfile(REF_BASELINE_CACHE):
+        with open(REF_BASELINE_CACHE) as fh:
+            cache = _json.load(fh)
+    cache[key] = {"time": t_ref, "rmse": rmse}
+    with open(REF_BASELINE_CACHE, "w") as fh:
+        _json.dump(cache, fh)
+    return t_ref, rmse
+
+
+def bench_nuts(verbose=False):
+    """NUTS samples/s on the GP hyperparameter posterior (diagnostic)."""
+    import jax
+    import jax.numpy as jnp
+    from gpgradpy_tpu import GpConfig, GpData, HpInfo, make_data_spec
+    from gpgradpy_tpu.inference import nuts
+    from gpgradpy_tpu.model import conditioning
+
+    n, d = 32, 2
+    x, f, g, _, _ = _problem(n, d)
+    platform = jax.devices()[0].platform
+    dtype = "float32" if platform != "cpu" else "float64"
+    dt = jnp.float32 if dtype == "float32" else jnp.float64
+    cfg = GpConfig(dim=d, use_grad=True, kernel_type="SqExp",
+                   wellcond_mtd="precon", dtype=dtype,
+                   cond_max_target=1e6 if dtype == "float32" else 1e10)
+    spec = make_data_spec(d, True, n, std_fval=np.zeros(n),
+                          std_grad=np.zeros((n, d)))
+    data = GpData(x=jnp.asarray(x, dt), fval=jnp.asarray(f, dt),
+                  std_fval=jnp.zeros(n, dt), grad=jnp.asarray(g, dt),
+                  std_grad=jnp.zeros((n, d), dt))
+    info = HpInfo(dim=d)
+    eta = conditioning.calc_etaK(cfg, n)
+    lb, ub = np.full(info.n_hp, -4.0), np.full(info.n_hp, 2.0)
+    logpost, *_ = nuts.make_gp_logpost(cfg, spec, info, data, eta, lb, ub)
+
+    n_chains, n_samples = 32, 128
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    z0 = jnp.zeros((n_chains, info.n_hp), dt)
+    run = jax.jit(jax.vmap(lambda z, k: nuts.run_nuts(
+        logpost, z, k, n_warmup=64, n_samples=n_samples, max_depth=6)))
+    zs, diag = run(z0, keys)
+    zs.block_until_ready()
+    t0 = time.time()
+    zs, diag = run(z0, keys)
+    zs.block_until_ready()
+    dt_s = time.time() - t0
+    rate = n_chains * n_samples / dt_s
+    if verbose:
+        print(f"[nuts] {n_chains} chains x {n_samples} samples in "
+              f"{dt_s:.2f}s -> {rate:.0f} samples/s "
+              f"(div={float(np.mean(diag['diverging'])):.3f})",
+              file=sys.stderr)
+    return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--no-ref", action="store_true",
+                    help="skip the reference baseline (use cache or nan)")
+    ap.add_argument("--nuts", action="store_true",
+                    help="also benchmark NUTS samples/s (stderr)")
+    args = ap.parse_args()
+
+    t_ours, rmse_ours, platform = bench_ours(verbose=args.verbose)
+    if args.no_ref:
+        t_ref, rmse_ref = bench_reference(use_cache=True, verbose=args.verbose) \
+            if True else (float("nan"), float("nan"))
+    else:
+        t_ref, rmse_ref = bench_reference(verbose=args.verbose)
+
+    if args.nuts:
+        bench_nuts(verbose=True)
+
+    # quality gate: a fast but broken fit must not count
+    quality_ok = (not np.isfinite(rmse_ref)) or rmse_ours < 2.0 * max(rmse_ref, 1e-6)
+    if not quality_ok:
+        print(f"[bench] QUALITY GATE FAILED: rmse_ours={rmse_ours:.4g} "
+              f"rmse_ref={rmse_ref:.4g}", file=sys.stderr)
+
+    vs = (t_ref / t_ours) if (np.isfinite(t_ref) and quality_ok) else 0.0
+    print(json.dumps({"metric": "gp_fit_wall_s",
+                      "value": round(t_ours, 4),
+                      "unit": "s",
+                      "vs_baseline": round(vs, 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,8 +15,10 @@ the rescaling methods) P = I and Keta = K + diag(noise)/varK + eta I.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..config import GpConfig
@@ -65,10 +67,46 @@ def calc_noise_vec(spec: DataSpec, data: GpData, hp: Hypers) -> jnp.ndarray:
     return jnp.concatenate([nv_val, nv_grad])
 
 
+@lru_cache(maxsize=16)
+def _pallas_kern_ad(kernel_type: str):
+    """Pallas forward assembly with an XLA closed-form backward: jax.grad of
+    the MLL differentiates through the covariance, and pallas_call has no
+    automatic transpose, so the VJP falls back to the (equally correct)
+    vectorized closed-form assembly of ops/kernels.py."""
+    from ..ops import pallas_assembly
+
+    @jax.custom_vjp
+    def f(x, theta, alpha):
+        return pallas_assembly.kern_grad_pallas(kernel_type, x, x, theta,
+                                                alpha)
+
+    def fwd(x, theta, alpha):
+        return f(x, theta, alpha), (x, theta, alpha)
+
+    def bwd(res, g):
+        x, theta, alpha = res
+        def ref(x, theta, alpha):
+            R = rtensor.calc_rtensor(x, x)
+            return kernels.kern_grad(kernel_type, R, theta, alpha)
+        _, vjp = jax.vjp(ref, x, theta, alpha)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def calc_kern(cfg: GpConfig, spec: DataSpec, x: jnp.ndarray, hp: Hypers):
-    """The (gradient-enhanced) kernel matrix for the training inputs."""
-    R = rtensor.calc_rtensor(x, x)
+    """The (gradient-enhanced) kernel matrix for the training inputs.
+
+    With ``cfg.use_pallas`` (TPU, full gradient set) the tiled Pallas
+    assembly produces the matrix with a single HBM write; otherwise the
+    vectorized XLA closed forms."""
     idx = spec.idx_grad_arr
+    if (cfg.use_pallas and cfg.use_grad and idx is None
+            and jax.default_backend() != "cpu"):
+        alpha = hp.kernel if hp.kernel is not None else jnp.asarray(0.0, x.dtype)
+        return _pallas_kern_ad(cfg.kernel_type)(x, hp.theta, alpha)
+    R = rtensor.calc_rtensor(x, x)
     return kernels.kern_mat(cfg.kernel_type, R, hp.theta, hp.kernel,
                             use_grad=cfg.use_grad, idx_g1=idx, idx_g2=idx)
 

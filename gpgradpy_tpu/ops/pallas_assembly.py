@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: tiled assembly of the gradient-enhanced covariance.
+
+The (1+d)n x (1+d)n blocked matrix is produced tile-by-tile on a grid
+(nb1, nb2, 1+d, 1+d): the two leading (slowest) grid dimensions walk the
+point-block pairs, the two trailing (fastest) dimensions walk the derivative
+blocks.  Because TPU grids execute sequentially with the last dimension
+fastest, the radial profile phi(W), phi'(W), phi''(W) for a point-block pair
+is computed ONCE (at derivative tile (0, 0)) into VMEM scratch and reused by
+all (1+d)^2 derivative tiles of that pair -- so each output element is
+written exactly once and the transcendental work is O(n^2), not O(d^2 n^2).
+The generic radial-kernel block formulas are the same as ops/kernels.py
+(see its module docstring); the reference implements this assembly as numba
+loops (e.g. KernelSqExp.py:322-410).
+
+Use ``kern_grad_pallas`` as a drop-in for ``kernels.kern_grad`` on TPU (full
+gradient set, square case); it pads n up to the tile size and slices the
+result.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT5 = 5.0 ** 0.5
+
+
+def _phi_tile(kernel_type: str, W, alpha):
+    """phi, phi', phi'' as functions of the weighted squared distance."""
+    if kernel_type == "SqExp":
+        phi = jnp.exp(-W)
+        return phi, -phi, phi
+    if kernel_type == "Ma5f2":
+        pos = W > 0.0
+        nu = jnp.where(pos, jnp.sqrt(jnp.where(pos, W, 1.0)), 0.0)
+        e = jnp.exp(-_SQRT5 * nu)
+        phi = (1.0 + _SQRT5 * nu + (5.0 / 3.0) * W) * e
+        phi1 = -(5.0 / 6.0) * (1.0 + _SQRT5 * nu) * e
+        phi2 = (25.0 / 12.0) * e
+        return phi, phi1, phi2
+    if kernel_type == "RatQu":
+        B = 1.0 + W / alpha
+        phi = B ** (-alpha)
+        phi1 = -(B ** (-alpha - 1.0))
+        phi2 = (1.0 + 1.0 / alpha) * B ** (-alpha - 2.0)
+        return phi, phi1, phi2
+    raise ValueError(kernel_type)
+
+
+def _kern_tile_kernel(theta_ref, alpha_ref, x1_ref, x2_ref, out_ref,
+                      phi_s, phi1_s, phi2_s, *, kernel_type: str, dim: int,
+                      nb1: int, nb2: int):
+    a = pl.program_id(2)          # row derivative block (0 = value)
+    b = pl.program_id(3)          # col derivative block
+
+    @pl.when((a == 0) & (b == 0))
+    def _compute_phi():
+        x1 = x1_ref[:, :]                        # (B, dpad)
+        x2 = x2_ref[:, :]
+        W = jnp.zeros((x1.shape[0], x2.shape[0]), x1.dtype)
+        for k in range(dim):                     # static unroll over dims
+            rk = x1[:, k:k + 1] - x2[:, k:k + 1].T    # (B, B) via broadcast
+            W = W + theta_ref[0, k] * rk * rk
+        phi, phi1, phi2 = _phi_tile(kernel_type, W, alpha_ref[0, 0])
+        phi_s[:, :] = phi
+        phi1_s[:, :] = phi1
+        phi2_s[:, :] = phi2
+
+    phi = phi_s[:, :]
+    phi1 = phi1_s[:, :]
+    phi2 = phi2_s[:, :]
+
+    a0 = (a == 0)
+    b0 = (b == 0)
+    ai = jnp.maximum(a - 1, 0)
+    bi = jnp.maximum(b - 1, 0)
+    th_a = theta_ref[0, ai]       # scalar SMEM load, dynamic index
+    th_b = theta_ref[0, bi]
+    # dynamic column selection as a one-hot contraction (Mosaic has no
+    # dynamic_slice on values)
+    x1 = x1_ref[:, :]
+    x2 = x2_ref[:, :]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, x1.shape[1]), 1)
+    oh_a = (ids == ai).astype(x1.dtype)
+    oh_b = (ids == bi).astype(x1.dtype)
+    x1a = jnp.sum(x1 * oh_a, axis=1, keepdims=True)      # (B, 1)
+    x2a = jnp.sum(x2 * oh_a, axis=1, keepdims=True)
+    x1b = jnp.sum(x1 * oh_b, axis=1, keepdims=True)
+    x2b = jnp.sum(x2 * oh_b, axis=1, keepdims=True)
+    Ra = x1a - x2a.T                             # (B, B) via broadcast
+    Rb = x1b - x2b.T
+    delta_ab = (a == b).astype(phi.dtype)
+
+    val = jnp.where(
+        a0 & b0, phi,
+        jnp.where(a0, -2.0 * th_b * Rb * phi1,
+                  jnp.where(b0, 2.0 * th_a * Ra * phi1,
+                            -2.0 * th_a * delta_ab * phi1
+                            - 4.0 * th_a * th_b * Ra * Rb * phi2)))
+    out_ref[:, :] = val
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_type", "dim", "block"))
+def _kern_grad_pallas_padded(kernel_type, dim, block, x1p, x2p, theta, alpha):
+    """x1p/x2p already padded to multiples of ``block`` rows."""
+    n1, dpad = x1p.shape
+    n2 = x2p.shape[0]
+    nb1 = n1 // block
+    nb2 = n2 // block
+    A = dim + 1
+    dtype = x1p.dtype
+
+    grid = (nb1, nb2, A, A)
+    kernel = functools.partial(_kern_tile_kernel, kernel_type=kernel_type,
+                               dim=dim, nb1=nb1, nb2=nb2)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dpad), lambda i, j, a, b: (0, 0),
+                         memory_space=pltpu.SMEM),            # theta
+            pl.BlockSpec((1, 1), lambda i, j, a, b: (0, 0),
+                         memory_space=pltpu.SMEM),            # alpha
+            pl.BlockSpec((block, dpad), lambda i, j, a, b: (i, 0),
+                         memory_space=pltpu.VMEM),            # x1 tile
+            pl.BlockSpec((block, dpad), lambda i, j, a, b: (j, 0),
+                         memory_space=pltpu.VMEM),            # x2 tile
+        ],
+        out_specs=pl.BlockSpec(
+            (block, block), lambda i, j, a, b: (a * nb1 + i, b * nb2 + j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A * n1, A * n2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block, block), dtype),
+            pltpu.VMEM((block, block), dtype),
+            pltpu.VMEM((block, block), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
+                                 "arbitrary"),
+        ),
+    )(theta.reshape(1, dim), jnp.reshape(alpha, (1, 1)), x1p, x2p)
+    return out
+
+
+def kern_grad_pallas(kernel_type: str, x1: jnp.ndarray, x2: jnp.ndarray,
+                     theta: jnp.ndarray, alpha=None, block: int = 128):
+    """Gradient-enhanced kernel matrix ((1+d)n1, (1+d)n2) via the Pallas
+    tiled assembly.  Pads the point count up to ``block`` and slices the
+    result back; derivative blocks are laid out exactly as kernels.kern_grad
+    (values first, then gradient blocks grouped by coordinate)."""
+    n1, dim = x1.shape
+    n2 = x2.shape[0]
+    dtype = x1.dtype
+    n1p = _round_up(n1, block)
+    n2p = _round_up(n2, block)
+    # pad points far away so padded entries are harmless (sliced off anyway)
+    x1p = jnp.pad(x1, ((0, n1p - n1), (0, 0)), constant_values=1e6)
+    x2p = jnp.pad(x2, ((0, n2p - n2), (0, 0)), constant_values=-1e6)
+    a = jnp.asarray(0.0 if alpha is None else alpha, dtype)
+    out = _kern_grad_pallas_padded(kernel_type, dim, block, x1p, x2p,
+                                   jnp.asarray(theta, dtype), a)
+    A = dim + 1
+    # slice the padded rows/cols out of each derivative block
+    out = out.reshape(A, n1p, A, n2p)[:, :n1, :, :n2]
+    return out.reshape(A * n1, A * n2)
