@@ -538,6 +538,100 @@ class GaussianProcess:
             out = [None if v is None else v[0] for v in out]
         return tuple(out)
 
+    def calc_model_mean_w_data_init(self, x2model_init, fval_init,
+                                    grad_init=None, calc_grad: bool = True):
+        """Posterior mean (and its x-gradient) using the CURRENT
+        factorization and hyperparameters but a different data vector
+        (GpEvalModel.calc_model_mean_w_data_init, GpEvalModel.py:384-440)."""
+        self._check_eval_ready()
+        from .model.predict import _cross_cov
+        from .ops import rtensor as _rt
+
+        xq = np.atleast_2d(np.asarray(x2model_init, float))
+        fval = np.asarray(fval_init, float)
+        if self.DataScl is not None:
+            xq_s = self.DataScl.x_init_2_scl(xq)
+            fval_s, _, grad_s, _ = self.DataScl.obj_init_2_scl(
+                fval, None, grad_init, None)[:4]
+        else:
+            xq_s, fval_s, grad_s = xq, fval, grad_init
+
+        hp = self.hp_vals
+        spec, cfg = self.spec, self.cfg
+        data_vec = _rt.make_data_vec(
+            jnp.asarray(fval_s, self.dtype),
+            None if grad_s is None else jnp.asarray(grad_s, self.dtype))
+        from .model import mean as _mean
+        vand = _mean.calc_aug_vand(cfg.mean_fun_type, self.data.x,
+                                   spec.use_grad, spec.idx_grad_arr)
+        sol = self._eval_state.ops.solve(data_vec - vand @ hp.beta)
+
+        Kyx, dKxy_dx = _cross_cov(cfg, spec, self.data.x,
+                                  jnp.asarray(xq_s, self.dtype), hp)
+        mval, mgrad, _ = _mean.eval_mean_fun(cfg.mean_fun_type,
+                                             jnp.asarray(xq_s, self.dtype),
+                                             hp.beta)
+        mu = np.asarray(mval + Kyx.T @ sol)
+        dmu = None
+        if calc_grad:
+            nx, dim = xq.shape
+            dmu = np.asarray((dKxy_dx @ sol).reshape(dim, nx).T + mgrad)
+        if self.DataScl is not None:
+            mu, _, dmu = self.DataScl.obj_scl_2_init(mu, None, dmu)[:3]
+        return mu, dmu
+
+    # ------------------------------------------------------------------
+    # Bayesian hyperparameter posteriors (additive capability)
+    # ------------------------------------------------------------------
+
+    def sample_posterior(self, n_chains: int = 8, n_warmup: int = 400,
+                         n_samples: int = 400, max_depth: int = 8,
+                         seed: int = 0, use_mesh: bool = False):
+        """NUTS posterior over the numerically-optimized hyperparameters
+        (box-uniform prior on the optimization-space vector within the
+        current bounds).  Returns (hp_samples (chains, samples, n_hp) in
+        VALUE space, diagnostics dict).  With ``use_mesh`` the chains are
+        sharded over all local devices with pooled psum adaptation."""
+        import jax as _jax
+        from .fit.multistart import get_hp_bounds
+        from .inference import nuts as _nuts
+
+        cfg, spec, info = self.cfg, self.spec, self.hp_info_optz_lkd
+        bounds = get_hp_bounds(cfg, info, self.history, 0)
+        logpost, z_to_hp, hp_to_z = _nuts.make_gp_logpost(
+            cfg, spec, info, self.data, self._eta_for_core(),
+            bounds.box_lb, bounds.box_ub)
+
+        if self.hp_vals is not None and self.hp_vals.theta is not None:
+            from .types import hypers_to_hp_vec
+            hp_vec0 = hypers_to_hp_vec(info, self.hp_vals)
+            z_init = hp_to_z(jnp.asarray(hp_vec0, self.dtype))
+        else:
+            z_init = jnp.zeros(info.n_hp, self.dtype)
+        rng = _jax.random.PRNGKey(seed)
+        k_init, k_chains = _jax.random.split(rng)
+        z0 = z_init[None, :] + 0.1 * _jax.random.normal(
+            k_init, (n_chains, info.n_hp), self.dtype)
+        keys = _jax.random.split(k_chains, n_chains)
+
+        if use_mesh:
+            from .parallel import mesh as _pm
+            m = _pm.make_mesh()
+            zs, diag = _pm.run_nuts_sharded(
+                logpost, z0, keys, m, n_warmup=n_warmup,
+                n_samples=n_samples, max_depth=max_depth)
+        else:
+            run = _jax.jit(_jax.vmap(lambda z, k: _nuts.run_nuts(
+                logpost, z, k, n_warmup=n_warmup, n_samples=n_samples,
+                max_depth=max_depth)))
+            zs, diag = run(z0, keys)
+
+        hp_vecs = _jax.vmap(_jax.vmap(z_to_hp))(zs)
+        bvec = info.bvec_log
+        hp_vals = np.asarray(hp_vecs)
+        hp_vals[..., bvec] = 10.0 ** hp_vals[..., bvec]
+        return hp_vals, {k: np.asarray(v) for k, v in diag.items()}
+
     # ------------------------------------------------------------------
     # frames / data access (GaussianProcess.py:399-457)
     # ------------------------------------------------------------------

@@ -1,0 +1,52 @@
+"""Facade extras: posterior sampling API, mean-with-given-data helper, and
+the FD gradient-check utility."""
+
+import numpy as np
+
+from gpgradpy_tpu import GaussianProcess
+from gpgradpy_tpu.utils.gradcheck import test_grad_calc
+
+
+def _fit_gp():
+    n = 8
+    x = np.linspace(2.5, 7.5, n)[:, None]
+    f = np.sin(x[:, 0]) + np.sin(10 * x[:, 0] / 3)
+    g = (np.cos(x[:, 0]) + (10 / 3) * np.cos(10 * x[:, 0] / 3))[:, None]
+    gp = GaussianProcess(1, True, "SqExp", "precon")
+    gp.init_optz_surr(2)
+    gp.set_data(x, f, np.zeros(n), g, np.zeros((n, 1)))
+    gp.set_hpara("optz", 0)
+    return gp, x, f, g
+
+
+def test_sample_posterior_concentrates():
+    gp, x, f, g = _fit_gp()
+    samples, diag = gp.sample_posterior(n_chains=4, n_warmup=150,
+                                        n_samples=200, max_depth=6, seed=0)
+    assert samples.shape == (4, 200, 1)
+    theta_map = float(np.asarray(gp.hp_vals.theta)[0])
+    med = float(np.median(samples[..., 0]))
+    # posterior mass around the MAP length-scale (log10 within ~0.5)
+    assert abs(np.log10(med) - np.log10(theta_map)) < 0.6
+    assert float(np.mean(diag["diverging"])) < 0.05
+
+
+def test_calc_model_mean_w_data():
+    gp, x, f, g = _fit_gp()
+    # with the ORIGINAL data this must reproduce eval_model's mean
+    xq = np.array([[4.2], [6.0]])
+    mu_ref, _, dmu_ref, *_ = gp.eval_model(xq, calc_grad=True)
+    mu, dmu = gp.calc_model_mean_w_data_init(xq, f, g, calc_grad=True)
+    np.testing.assert_allclose(mu, mu_ref, rtol=1e-8)
+    np.testing.assert_allclose(dmu, dmu_ref, rtol=1e-8)
+    # scaled data changes the prediction consistently (mean fn held fixed)
+    mu2, _ = gp.calc_model_mean_w_data_init(xq, 2 * f, 2 * g, calc_grad=False)
+    assert not np.allclose(mu2, mu)
+
+
+def test_grad_check_utility(capsys):
+    fd, gr = test_grad_calc(np.array([1.0, 2.0]),
+                            lambda v: np.sum(v ** 2),
+                            lambda v: 2 * v, print_calc=True)
+    np.testing.assert_allclose(fd, gr, rtol=1e-6)
+    assert "FD test" in capsys.readouterr().out
