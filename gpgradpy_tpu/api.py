@@ -628,7 +628,7 @@ class GaussianProcess:
 
         hp_vecs = _jax.vmap(_jax.vmap(z_to_hp))(zs)
         bvec = info.bvec_log
-        hp_vals = np.asarray(hp_vecs)
+        hp_vals = np.array(hp_vecs, copy=True)
         hp_vals[..., bvec] = 10.0 ** hp_vals[..., bvec]
         return hp_vals, {k: np.asarray(v) for k, v in diag.items()}
 

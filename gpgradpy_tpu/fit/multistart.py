@@ -118,6 +118,12 @@ def _jit_batch_nll(cfg: GpConfig, spec: DataSpec, info: HpInfo):
 
 
 @lru_cache(maxsize=256)
+def _jit_lkd_cond(cfg: GpConfig, spec: DataSpec, info: HpInfo):
+    return jax.jit(lambda v, data, eta: likelihood.calc_lkd_hp_vec(
+        cfg, spec, info, data, v, eta, calc_cond=True))
+
+
+@lru_cache(maxsize=256)
 def _jit_solver(cfg: GpConfig, spec: DataSpec, info: HpInfo, max_iter: int,
                 tol_f: float):
     def run(x0_all, lb, ub, data, eta):
@@ -166,8 +172,7 @@ def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     best = jnp.argmin(fvals)
     best_hp = res.x[best]
 
-    lkd = likelihood.calc_lkd_hp_vec(cfg, spec, info, data, best_hp, eta_const,
-                                     calc_cond=True)
+    lkd = _jit_lkd_cond(cfg, spec, info)(best_hp, data, eta_const)
     tele = {
         "hp_optz_success": float(jnp.mean(res.converged)),
         "hp_optz_iter_mean": float(jnp.mean(res.n_iter)),

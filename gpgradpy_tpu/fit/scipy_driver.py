@@ -146,8 +146,8 @@ def fit_map_scipy(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     best = pool[np.nanargmin(objs[pool])]
     best_hp = jnp.asarray(sols[best])
 
-    lkd = likelihood.calc_lkd_hp_vec(cfg, spec, info, data, best_hp, eta_const,
-                                     calc_cond=True)
+    from .multistart import _jit_lkd_cond
+    lkd = _jit_lkd_cond(cfg, spec, info)(best_hp, data, eta_const)
     tele = {
         "hp_optz_success": float(success.mean()),
         "hp_optz_iter_mean": float(iters.mean()),

@@ -4,7 +4,7 @@ the FD gradient-check utility."""
 import numpy as np
 
 from gpgradpy_tpu import GaussianProcess
-from gpgradpy_tpu.utils.gradcheck import test_grad_calc
+from gpgradpy_tpu.utils.gradcheck import test_grad_calc as fd_grad_check
 
 
 def _fit_gp():
@@ -45,8 +45,8 @@ def test_calc_model_mean_w_data():
 
 
 def test_grad_check_utility(capsys):
-    fd, gr = test_grad_calc(np.array([1.0, 2.0]),
-                            lambda v: np.sum(v ** 2),
-                            lambda v: 2 * v, print_calc=True)
+    fd, gr = fd_grad_check(np.array([1.0, 2.0]),
+                           lambda v: np.sum(v ** 2),
+                           lambda v: 2 * v, print_calc=True)
     np.testing.assert_allclose(fd, gr, rtol=1e-6)
     assert "FD test" in capsys.readouterr().out
