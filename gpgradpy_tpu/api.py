@@ -182,10 +182,14 @@ class GaussianProcess:
         self._std_grad_in = None if std_grad is None else np.asarray(std_grad, float)
         self.bvec_use_grad = bvec_use_grad
 
+        n_pad = 0
+        if cfg.pad_n_eval_multiple > 1 and not cfg.b_use_data_scl:
+            n_pad = (-n_eval) % cfg.pad_n_eval_multiple
         self.spec = make_data_spec(cfg.dim, cfg.use_grad, n_eval,
                                    std_fval=self._std_fval_in,
                                    std_grad=self._std_grad_in,
-                                   bvec_use_grad=bvec_use_grad)
+                                   bvec_use_grad=bvec_use_grad,
+                                   n_pad_eval=n_pad)
         self.n_grad = self.spec.n_grad
 
         # nugget bounds (GaussianProcess.py:331-332)
@@ -228,10 +232,15 @@ class GaussianProcess:
             x, f = self._x_eval_in, self._fval_in
             std_f, g, std_g = self._std_fval_in, self._grad_in, self._std_grad_in
 
-        if g is not None and self.spec.idx_grad_arr is not None:
-            g = np.asarray(g)[self.spec.idx_grad_arr]
-            if std_g is not None:
-                std_g = np.asarray(std_g)[self.spec.idx_grad_arr]
+        # note: grad arrives with one row per USED gradient already
+        # (reference set_data semantics, GaussianProcess.py:254)
+        n_pad = self.spec.n_pad_eval
+        if n_pad:
+            x = np.concatenate([np.asarray(x), np.tile(np.asarray(x)[:1],
+                                                       (n_pad, 1))])
+            f = np.concatenate([np.asarray(f), np.zeros(n_pad)])
+            if std_f is not None:
+                std_f = np.concatenate([np.asarray(std_f), np.zeros(n_pad)])
         self.data = GpData(
             x=jnp.asarray(x, dt), fval=jnp.asarray(f, dt),
             std_fval=None if std_f is None else jnp.asarray(std_f, dt),
@@ -372,9 +381,17 @@ class GaussianProcess:
 
         hp_vals = self.hp_vec2dataclass(self.hp_info_optz_lkd, fit.hp_vec)
         hp_vals = self._closed_form(hp_vals)
-        self.store_new_para_surr(i_optz, hp_vals, fit.info, float(fit.cond),
-                                 time_hp_optz=t_optz,
-                                 ln_lkd=-float(fit.neg_lkd))
+        # pull the hp pytree to host in one transfer before the per-field
+        # history writes (scalar pulls are expensive on remote-TPU links)
+        hp_host = jax.device_get(hp_vals)
+        self.hp_vals = hp_vals
+        if self.history is not None:
+            self.history.store(
+                i_optz, hp_host, fit.info, float(fit.cond),
+                self.cfg.cond_max, self._eta_Kbase, self._eta_Kgrad,
+                self.cfg.use_grad, self._vmin_init, self._vmin_req_grad,
+                None if self.DataScl is None else self.DataScl.xvec_scale,
+                self._fval_in, -float(fit.neg_lkd), t_optz, np.nan, np.nan)
 
     def _run_fit(self, i_optz):
         cfg = self.cfg

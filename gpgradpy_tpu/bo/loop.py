@@ -110,8 +110,12 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
         f_data = f_data + noise_std * rng.standard_normal(f_data.shape)
         g_data = g_data + noise_std * rng.standard_normal(g_data.shape)
 
+    gp_options = dict(gp_options or {})
+    if wellcond_mtd == "precon" or wellcond_mtd == "base":
+        # shape bucketing: one compiled program per bucket of 8 dataset sizes
+        gp_options.setdefault("pad_n_eval_multiple", 8)
     gp = GaussianProcess(dim, use_grad, kernel_type, wellcond_mtd,
-                         **(gp_options or {}))
+                         **gp_options)
     gp.init_optz_surr(n_iter + 1)
 
     n_total = n_init + n_iter

@@ -93,6 +93,9 @@ class GpConfig:
     varK_min: float = 1e-32
     dtype: str = "float64"                # 'float64' (parity) or 'float32' (TPU fast path)
     use_pallas: bool = False              # Pallas tiled covariance assembly on TPU
+    pad_n_eval_multiple: int = 0          # shape bucketing: pad n_eval up to a
+                                          # multiple so growing datasets (BO)
+                                          # reuse one compiled program
 
     def __post_init__(self):
         assert self.kernel_type in KERNEL_TYPES, f"unknown kernel {self.kernel_type}"

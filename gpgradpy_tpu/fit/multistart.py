@@ -173,14 +173,17 @@ def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     best_hp = res.x[best]
 
     lkd = _jit_lkd_cond(cfg, spec, info)(best_hp, data, eta_const)
+    # one batched device->host pull (per-scalar pulls dominate wall-clock on
+    # remote-TPU links)
+    conv, n_it, f_best, cond = jax.device_get(
+        (res.converged, res.n_iter, res.f[best], lkd.cond))
     tele = {
-        "hp_optz_success": float(jnp.mean(res.converged)),
-        "hp_optz_iter_mean": float(jnp.mean(res.n_iter)),
-        "hp_optz_iter_max": float(jnp.max(res.n_iter)),
+        "hp_optz_success": float(np.mean(conv)),
+        "hp_optz_iter_mean": float(np.mean(n_it)),
+        "hp_optz_iter_max": float(np.max(n_it)),
         "hp_optz_con_good": 1.0,
         "optz_n_cho_fail": 0,
         "optz_n_cond2big": 0,
         "optz_max_init_cond": float("nan"),
     }
-    return FitResult(hp_vec=best_hp, neg_lkd=res.f[best], cond=lkd.cond,
-                     info=tele)
+    return FitResult(hp_vec=best_hp, neg_lkd=f_best, cond=cond, info=tele)

@@ -43,17 +43,21 @@ class KetaOps(NamedTuple):
 
 
 def calc_noise_vec(spec: DataSpec, data: GpData, hp: Hypers) -> jnp.ndarray:
-    """Per-datum noise variance vector, length n_data
-    (reference Kernel.calc_noise_vec, Kernel.py:309-357)."""
+    """Per-datum noise variance vector, length n_data_tot
+    (reference Kernel.calc_noise_vec, Kernel.py:309-357); padding entries
+    get zero noise (they are structurally masked anyway)."""
     dtype = data.x.dtype
     if spec.b_fval_zero and spec.b_fgrad_zero:
-        return jnp.zeros(spec.n_data, dtype=dtype)
+        return jnp.zeros(spec.n_data_tot, dtype=dtype)
 
     if spec.known_eps_fval:
         nv_val = data.std_fval.astype(dtype) ** 2
     else:
         var_fval = hp.var_fval if hp.var_fval is not None else 0.0
-        nv_val = jnp.full(spec.n_eval, 1.0, dtype=dtype) * var_fval
+        nv_val = jnp.full(spec.n_eval_tot, 1.0, dtype=dtype) * var_fval
+        if spec.n_pad_eval:
+            pad_m = jnp.asarray(spec.pad_mask()[:spec.n_eval_tot], dtype)
+            nv_val = nv_val * pad_m
 
     if not spec.use_grad:
         return nv_val
@@ -123,6 +127,13 @@ def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
     if Kern is None:
         Kern = calc_kern(cfg, spec, data.x, hp)
     n_data = Kern.shape[0]
+
+    # structural masking of padded points: identity rows/cols in the kernel
+    pad_mask = spec.pad_mask()
+    if pad_mask is not None:
+        m = jnp.asarray(pad_mask, Kern.dtype)
+        Kern = Kern * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
+
     noise = calc_noise_vec(spec, data, hp)
     varK_eff = 1.0 if varK is None else varK
     Kw = Kern + jnp.diag(noise / varK_eff)
@@ -148,6 +159,11 @@ def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
         M = Kw + etaK * jnp.eye(n_data, dtype=Kern.dtype)
         fac = linalg.cholesky_ok(M)
         logdet = linalg.logdet_from_chol(fac)
+
+    if pad_mask is not None:
+        # padded diagonal entries contribute log(1 + eta) each; remove them
+        # so logdet is exactly that of the unpadded Keta
+        logdet = logdet - spec.n_pad_eval * jnp.log1p(etaK)
 
     return KetaOps(fac=fac, pvec=pvec, logdet=logdet, etaK=etaK, M=M,
                    ok=fac.ok)

@@ -66,9 +66,14 @@ def calc_lkd(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
     dispatcher logic mirrors CalcLkd.calc_lkd_all (CalcLkd.py:270-346).
     """
     data_vec = make_data_vec(spec, data)
-    n_data = spec.n_data
+    n_data = spec.n_data          # REAL data count (padding masked out)
     vand = mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad,
                               spec.idx_grad_arr)
+    pad_mask = spec.pad_mask()
+    if pad_mask is not None:
+        mv = jnp.asarray(pad_mask, vand.dtype)
+        vand = vand * mv[:, None]
+        data_vec = data_vec * mv
 
     if spec.b_has_noisy_data:
         varK = hp.varK

@@ -34,6 +34,11 @@ def setup_eval(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
     data_vec = likelihood.make_data_vec(spec, data)
     vand = mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad,
                               spec.idx_grad_arr)
+    pad_mask = spec.pad_mask()
+    if pad_mask is not None:
+        mv = jnp.asarray(pad_mask, vand.dtype)
+        vand = vand * mv[:, None]
+        data_vec = data_vec * mv
     mean_vec = vand @ hp.beta
     invK_fdiff = ops.solve(data_vec - mean_vec)
     cond = assembly.calc_cond(ops) if calc_cond else jnp.asarray(jnp.nan)
@@ -63,6 +68,12 @@ def _cross_cov(cfg: GpConfig, spec: DataSpec, x_train, xq, hp: Hypers):
     Kyx = rows(0)
     dK_list = [rows(b) for b in range(1, dim + 1)]     # each (n_data, nx)
     dKxy_dx = jnp.concatenate([d.T for d in dK_list], axis=0)  # (nx*d, n_data)
+
+    pad_mask = spec.pad_mask()
+    if pad_mask is not None:
+        mv = jnp.asarray(pad_mask, Kyx.dtype)
+        Kyx = Kyx * mv[:, None]
+        dKxy_dx = dKxy_dx * mv[None, :]
     return Kyx, dKxy_dx
 
 
@@ -109,11 +120,11 @@ def eval_model(cfg: GpConfig, spec: DataSpec, data: GpData, state: EvalState,
 
         # d2sig2[q, k, i] = -2 varK (H[k, i*nx+q, :] . Kxy_invK[q]
         #                            + dKxy_dx[k*nx+q] . Keta^-1 dKxy_dx[i*nx+q])
-        Ht = H.reshape(dim, dim, nx, spec.n_data)          # (k, i, q, m)
+        Ht = H.reshape(dim, dim, nx, spec.n_data_tot)      # (k, i, q, m)
         term1 = jnp.einsum("kiqm,qm->qki", Ht, Kxy_invK)
         solve_dK = state.ops.solve(dKxy_dx.T)              # (n_data, nx*d)
-        D = dKxy_dx.reshape(dim, nx, spec.n_data)          # (k, q, m)
-        S = solve_dK.T.reshape(dim, nx, spec.n_data)       # (i, q, m)
+        D = dKxy_dx.reshape(dim, nx, spec.n_data_tot)      # (k, q, m)
+        S = solve_dK.T.reshape(dim, nx, spec.n_data_tot)   # (i, q, m)
         term2h = jnp.einsum("kqm,iqm->qki", D, S)
         d2sig2 = -2.0 * varK * (term1 + term2h)
 
@@ -150,11 +161,11 @@ def eval_model_var(cfg: GpConfig, spec: DataSpec, data: GpData,
         H = kernels.kern_hess_x(cfg.kernel_type, Rq, hp.theta, hp.kernel,
                                 use_grad=spec.use_grad,
                                 idx_g2=spec.idx_grad_arr)
-        Ht = H.reshape(dim, dim, nx, spec.n_data)
+        Ht = H.reshape(dim, dim, nx, spec.n_data_tot)
         term1 = jnp.einsum("kiqm,qm->qki", Ht, Kxy_invK)
         solve_dK = state.ops.solve(dKxy_dx.T)
-        D = dKxy_dx.reshape(dim, nx, spec.n_data)
-        S = solve_dK.T.reshape(dim, nx, spec.n_data)
+        D = dKxy_dx.reshape(dim, nx, spec.n_data_tot)
+        S = solve_dK.T.reshape(dim, nx, spec.n_data_tot)
         term2h = jnp.einsum("kqm,iqm->qki", D, S)
         d2sig2dx2 = -2.0 * varK * (term1 + term2h)
     return sig2, dsig2dx, d2sig2dx2

@@ -49,9 +49,16 @@ class DataSpec:
 
     Derived in the facade from the raw inputs, mirroring the flag logic of
     the reference ``set_data`` (GaussianProcess.py:304-332).
+
+    ``n_pad_eval`` > 0 means the arrays carry that many PADDING points after
+    the real ones (shape bucketing so growing-dataset workloads like the BO
+    loop reuse one compiled program).  Padded points are structurally masked
+    out of the model: identity rows/cols in the covariance, zero mean-basis
+    rows, zero data entries, and count corrections in the MLL -- the
+    likelihood is exactly that of the unpadded dataset.
     """
     dim: int
-    n_eval: int
+    n_eval: int             # real evaluation points
     n_grad: int
     use_grad: bool
     known_eps_fval: bool
@@ -59,10 +66,21 @@ class DataSpec:
     b_fval_zero: bool       # known noise on f is (numerically) zero
     b_fgrad_zero: bool
     idx_grad: Optional[Tuple[int, ...]] = None  # which points contribute grads
+    n_pad_eval: int = 0     # padding points appended after the real ones
+
+    @property
+    def n_eval_tot(self) -> int:
+        return self.n_eval + self.n_pad_eval
 
     @property
     def n_data(self) -> int:
+        """Real data count (MLL normalization)."""
         return self.n_eval + self.n_grad * self.dim
+
+    @property
+    def n_data_tot(self) -> int:
+        """Padded matrix size."""
+        return self.n_eval_tot + self.n_grad * self.dim
 
     @property
     def b_has_noisy_data(self) -> bool:
@@ -78,14 +96,27 @@ class DataSpec:
 
     @property
     def idx_grad_arr(self) -> Optional[np.ndarray]:
-        if self.idx_grad is None or len(self.idx_grad) == self.n_eval:
+        if self.idx_grad is None:
             return None
+        if self.n_pad_eval == 0 and len(self.idx_grad) == self.n_eval:
+            return None
+        # with padding, gradient rows must be selected explicitly even when
+        # every real point contributes one (the x array has padded rows)
         return np.asarray(self.idx_grad, dtype=np.int32)
+
+    def pad_mask(self) -> Optional[np.ndarray]:
+        """(n_data_tot,) float mask: 1 for real entries, 0 for padding;
+        None when there is no padding."""
+        if self.n_pad_eval == 0:
+            return None
+        m = np.ones(self.n_data_tot)
+        m[self.n_eval:self.n_eval_tot] = 0.0
+        return m
 
 
 def make_data_spec(dim: int, use_grad: bool, n_eval: int,
                    std_fval=None, std_grad=None,
-                   bvec_use_grad=None) -> DataSpec:
+                   bvec_use_grad=None, n_pad_eval: int = 0) -> DataSpec:
     """Host-side construction of the static spec from raw numpy inputs."""
     if use_grad:
         if bvec_use_grad is None:
@@ -115,7 +146,7 @@ def make_data_spec(dim: int, use_grad: bool, n_eval: int,
                     known_eps_fval=known_eps_fval,
                     known_eps_fgrad=known_eps_fgrad,
                     b_fval_zero=b_fval_zero, b_fgrad_zero=b_fgrad_zero,
-                    idx_grad=idx_grad)
+                    idx_grad=idx_grad, n_pad_eval=n_pad_eval)
 
 
 @dataclass(frozen=True)
