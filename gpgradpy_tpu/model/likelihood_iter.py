@@ -1,0 +1,203 @@
+"""Large-n marginal log-likelihood: matrix-free CG solves + stochastic
+Lanczos log-determinant, with determinant-free hyperparameter gradients.
+
+This is the scaling path for n_data beyond the dense-Cholesky regime
+(SURVEY.md section 5.7): the covariance is never materialized (O(n_data *
+block) memory), solves are preconditioned CG on the symmetrically scaled
+system (the 'precon' trick as an iterative preconditioner), and gradients
+use the standard estimator
+    d ln L / d theta = -1/2 [ n * d varK/d theta / varK + tr(K^-1 dK) ],
+    d varK/d theta  = -alpha^T (dK/d theta) alpha / n,
+    tr(K^-1 dK)    ~= mean_i u_i^T (dK/d theta) z_i,   u_i = K^-1 z_i,
+with the quadratic forms differentiated by autodiff through the matrix-free
+matvec (alpha, u_i, z_i treated as constants; beta and varK are profiled
+maximizers so their sensitivities vanish by the envelope theorem).  cf. the
+BBMM/mBCG line of work (Gardner et al. 2018) and determinant-free Bayesian
+GP gradients (PAPERS.md).
+
+Noise-free regime only for now (the reference's headline configuration);
+the noisy regime needs the same machinery with varK as a numeric hp.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GpConfig
+from ..ops import iterative, kernels, rtensor
+from ..types import DataSpec, GpData, Hypers
+from . import likelihood, mean
+
+
+class IterLkdInfo(NamedTuple):
+    ln_lkd: jnp.ndarray
+    beta: jnp.ndarray
+    varK: jnp.ndarray
+    ln_det: jnp.ndarray
+    cg_resid: jnp.ndarray
+    cg_iters: jnp.ndarray
+
+
+def _keta_diag(cfg: GpConfig, spec: DataSpec, hp: Hypers, eta, noise,
+               dtype):
+    """Closed-form diagonal of Keta for the full-gradient square case:
+    value entries 1, gradient entries gamma_a^2 (= -2 phi'(0) theta_a),
+    plus noise and the eta * P^2 term."""
+    n = spec.n_eval
+    gamma2 = kernels.theta2gamma(cfg.kernel_type, hp.theta) ** 2
+    base = jnp.concatenate([jnp.ones(n, dtype),
+                            jnp.repeat(gamma2.astype(dtype), n)])
+    d = base + noise
+    return d + eta * d  # precon: P^2 = diag(K + noise); eta * P^2 on top
+
+
+def calc_lkd_iterative(cfg: GpConfig, spec: DataSpec, data: GpData,
+                       hp: Hypers, eta_const: float, key: jax.Array,
+                       n_probes: int = 16, max_cg_iters: int = 256,
+                       cg_tol: float = 1e-10, row_block: int = 256):
+    """Noise-free MLL via CG + SLQ.  Returns IterLkdInfo.
+
+    Restrictions (current): use_grad with ALL gradients, no data rescaling,
+    'precon' or 'base' conditioning with constant eta.
+    """
+    assert not spec.b_has_noisy_data, "iterative path: noise-free regime only"
+    assert spec.idx_grad_arr is None and spec.n_pad_eval == 0
+    dtype = data.x.dtype
+    n_data = spec.n_data
+    theta = hp.theta
+
+    noise = jnp.zeros(n_data, dtype)
+    if cfg.wellcond_mtd == "precon":
+        diag = _keta_diag(cfg, spec, hp, eta_const, noise, dtype)
+        pvec2 = diag / (1.0 + eta_const)  # P^2 = diag(K+noise)
+        pvec = jnp.sqrt(pvec2)
+        eta = eta_const
+    else:
+        gamma2 = kernels.theta2gamma(cfg.kernel_type, theta) ** 2
+        diag = (jnp.concatenate([jnp.ones(spec.n_eval, dtype),
+                                 jnp.repeat(gamma2.astype(dtype),
+                                            spec.n_eval)])
+                + eta_const)
+        pvec = None
+        eta = eta_const
+
+    def mv(theta_, V):
+        return iterative.kern_matvec(cfg.kernel_type, data.x, theta_,
+                                     hp.kernel, V, row_block=row_block,
+                                     eta=eta, pvec=pvec)
+
+    data_vec = likelihood.make_data_vec(spec, data)
+    vand = mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad)
+    d_isqrt = 1.0 / jnp.sqrt(diag)
+
+    def mv_hat(V):
+        return d_isqrt[:, None] * mv(theta, d_isqrt[:, None] * V)
+
+    def solve(B):
+        """Keta^-1 B via CG on the scaled system."""
+        Bh = d_isqrt[:, None] * B
+        res = iterative.mbcg(mv_hat, Bh, max_iters=max_cg_iters, tol=cg_tol)
+        return d_isqrt[:, None] * res.X, res
+
+    # GLS beta and residual solve in one batched CG
+    nb = vand.shape[1]
+    rhs = jnp.concatenate([data_vec[:, None], vand], axis=1)
+    sols, res = solve(rhs)
+    invK_y = sols[:, 0]
+    invK_V = sols[:, 1:]
+    A = vand.T @ invK_V
+    beta = jnp.linalg.solve(A, invK_V.T @ data_vec)
+    r = data_vec - vand @ beta
+    alpha = invK_y - invK_V @ beta          # Keta^-1 r
+
+    varK = jnp.maximum(cfg.varK_min, jnp.dot(r, alpha) / n_data)
+
+    # SLQ logdet + Hutchinson probes (reuse the probe solves for the grad)
+    key_z, = jax.random.split(key, 1)
+    ln_det, slq_res = iterative.slq_logdet(
+        lambda V: mv(theta, V), n_data, key_z, n_probes=n_probes,
+        max_iters=max_cg_iters, scale_diag=diag, dtype=dtype)
+
+    ln_lkd = -(n_data * jnp.log(varK) + ln_det) / 2.0
+    return IterLkdInfo(ln_lkd=ln_lkd, beta=beta, varK=varK, ln_det=ln_det,
+                       cg_resid=jnp.max(res.residnorm),
+                       cg_iters=res.n_iter)
+
+
+def neg_mll_iterative_and_grad(cfg: GpConfig, spec: DataSpec, data: GpData,
+                               hp: Hypers, eta_const: float, key: jax.Array,
+                               n_probes: int = 16, max_cg_iters: int = 256,
+                               cg_tol: float = 1e-10, row_block: int = 256):
+    """(-ln L, d(-ln L)/d theta) with determinant-free gradients.
+
+    The value comes from calc_lkd_iterative; the theta-gradient differentiates
+    the quadratic-form surrogates through the matrix-free matvec.
+    """
+    assert not spec.b_has_noisy_data
+    dtype = data.x.dtype
+    n_data = spec.n_data
+    theta = hp.theta
+
+    info = calc_lkd_iterative(cfg, spec, data, hp, eta_const, key,
+                              n_probes=n_probes, max_cg_iters=max_cg_iters,
+                              cg_tol=cg_tol, row_block=row_block)
+
+    # recompute the solves needed for the gradient (constants under autodiff)
+    noise = jnp.zeros(n_data, dtype)
+    if cfg.wellcond_mtd == "precon":
+        diag = _keta_diag(cfg, spec, hp, eta_const, noise, dtype)
+        pvec = jnp.sqrt(diag / (1.0 + eta_const))
+    else:
+        gamma2 = kernels.theta2gamma(cfg.kernel_type, theta) ** 2
+        diag = (jnp.concatenate([jnp.ones(spec.n_eval, dtype),
+                                 jnp.repeat(gamma2.astype(dtype),
+                                            spec.n_eval)]) + eta_const)
+        pvec = None
+
+    def mv_theta(theta_, V):
+        # NOTE: eta * P(theta)^2 depends on theta under 'precon'; that
+        # dependence is part of dKeta/dtheta and flows through autodiff here
+        if cfg.wellcond_mtd == "precon":
+            g2 = kernels.theta2gamma(cfg.kernel_type, theta_) ** 2
+            p2 = jnp.concatenate([jnp.ones(spec.n_eval, dtype),
+                                  jnp.repeat(g2.astype(dtype), spec.n_eval)])
+            pv = jnp.sqrt(p2)
+        else:
+            pv = None
+        return iterative.kern_matvec(cfg.kernel_type, data.x, theta_,
+                                     hp.kernel, V, row_block=row_block,
+                                     eta=eta_const, pvec=pv)
+
+    d_isqrt = 1.0 / jnp.sqrt(diag)
+
+    def mv_hat(V):
+        return d_isqrt[:, None] * mv_theta(theta, d_isqrt[:, None] * V)
+
+    def solve(B):
+        Bh = d_isqrt[:, None] * B
+        res = iterative.mbcg(mv_hat, Bh, max_iters=max_cg_iters, tol=cg_tol)
+        return d_isqrt[:, None] * res.X
+
+    data_vec = likelihood.make_data_vec(spec, data)
+    vand = mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad)
+    r = data_vec - vand @ info.beta
+    alpha = jax.lax.stop_gradient(solve(r[:, None])[:, 0])
+
+    key_z, = jax.random.split(key, 1)
+    z = jax.random.rademacher(key_z, (n_data, n_probes), dtype=dtype)
+    u = jax.lax.stop_gradient(solve(z))
+
+    def surrogate(theta_):
+        # d/dtheta [alpha^T K(theta) alpha] = alpha^T dK alpha
+        quad_alpha = jnp.dot(alpha, mv_theta(theta_, alpha[:, None])[:, 0])
+        # d/dtheta [mean_i u_i^T K(theta) z_i] ~= tr(K^-1 dK)
+        trace_term = jnp.mean(jnp.sum(u * mv_theta(theta_, z), axis=0))
+        # d(-lnL)/dtheta = 1/2 [ n * dvarK/varK + dlogdet ]
+        #                = 1/2 [ -quad_alpha' / varK + trace_term' ]
+        return 0.5 * (-quad_alpha / info.varK + trace_term)
+
+    grad_theta = jax.grad(surrogate)(theta)
+    return -info.ln_lkd, grad_theta, info
