@@ -1,1 +1,1 @@
-from . import nuts, smc, vi  # noqa: F401
+from . import diagnostics, nuts, smc, vi  # noqa: F401

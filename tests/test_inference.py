@@ -120,3 +120,20 @@ def test_nuts_sharded_over_mesh():
     # pooled step size: identical across all chains
     steps = np.asarray(diag["step_size"]).reshape(-1)
     np.testing.assert_allclose(steps, steps[0], rtol=1e-6)
+
+
+def test_diagnostics_rhat_ess():
+    """R-hat ~ 1 and healthy ESS for iid chains; R-hat >> 1 for disjoint
+    chains."""
+    from gpgradpy_tpu.inference import diagnostics
+    rng = np.random.default_rng(0)
+    good = jnp.asarray(rng.standard_normal((4, 500, 2)))
+    rhat = diagnostics.split_rhat(good)
+    assert np.all(np.asarray(rhat) < 1.05)
+    ess = diagnostics.effective_sample_size(good)
+    assert np.all(np.asarray(ess) > 500)
+
+    bad = jnp.asarray(rng.standard_normal((4, 500, 1))
+                      + np.arange(4)[:, None, None] * 10.0)
+    rhat_bad = diagnostics.split_rhat(bad)
+    assert np.all(np.asarray(rhat_bad) > 2.0)
