@@ -132,11 +132,19 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
     std_g = (np.full((n_init, dim), noise_std) if noise_std > 0
              else np.zeros((n_init, dim)))
 
+    prev_bucket = None
     for i in range(n_iter):
         t0 = time.time()
         gp.set_data(x_data, f_data, std_f,
                     g_data if use_grad else None,
                     std_g if use_grad else None)
+        # crossing a shape bucket retires every compiled program of the old
+        # bucket; drop them so long runs don't exhaust memory mappings
+        # (XLA:CPU's LLVM JIT maps each executable's sections separately)
+        bucket = gp.spec.n_eval_tot
+        if prev_bucket is not None and bucket != prev_bucket:
+            jax.clear_caches()
+        prev_bucket = bucket
         gp.set_hpara("optz", i)
 
         fbest = float(np.min(f_data))
