@@ -124,6 +124,45 @@ def _jit_lkd_cond(cfg: GpConfig, spec: DataSpec, info: HpInfo):
 
 
 @lru_cache(maxsize=256)
+def _jit_fit_fused(cfg: GpConfig, spec: DataSpec, info: HpInfo,
+                   max_iter: int, tol_f: float, hp_best: bool):
+    """One XLA program for the whole fit: (optionally) the hp_best scan over
+    the candidate points, the (multi-start) L-BFGS, and the final
+    likelihood + condition-number evaluation.  One device dispatch per fit
+    (dispatch latency dominates warm fits on remote-TPU links)."""
+
+    def run(x0_all, lb, ub, data, eta):
+        def obj(v):
+            val, g, _ = likelihood.neg_mll_and_grad(cfg, spec, info, data, v,
+                                                    eta)
+            return val, g
+
+        if hp_best:
+            def nll(v):
+                val, _ = likelihood.neg_mll(cfg, spec, info, data, v, eta)
+                return val
+            vals = jax.vmap(nll)(x0_all)
+            vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+            starts = x0_all[jnp.argmin(vals)][None, :]
+        else:
+            starts = x0_all
+
+        res = lbfgs.lbfgs_box_multistart(obj, starts, lb, ub,
+                                         max_iter=max_iter, tol_f=tol_f)
+        fvals = jnp.where(jnp.isfinite(res.f), res.f, jnp.inf)
+        best = jnp.argmin(fvals)
+        best_hp = res.x[best]
+        lkd = likelihood.calc_lkd_hp_vec(cfg, spec, info, data, best_hp, eta,
+                                         calc_cond=True)
+        return (best_hp, fvals[best], lkd.cond, lkd.ln_lkd,
+                jnp.mean(res.converged.astype(jnp.float32)),
+                jnp.mean(res.n_iter.astype(jnp.float32)),
+                jnp.max(res.n_iter))
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=256)
 def _jit_solver(cfg: GpConfig, spec: DataSpec, info: HpInfo, max_iter: int,
                 tol_f: float):
     def run(x0_all, lb, ub, data, eta):
@@ -159,28 +198,27 @@ def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
             seed: int = 1) -> FitResult:
     """One full MAP hyperparameter fit: bounds -> starts -> vmapped L-BFGS ->
     best solution + final condition number (GpHparaOptz.optz_hp +
-    OptzLkd.optz_hp_max_lkd semantics)."""
+    OptzLkd.optz_hp_max_lkd semantics).  The device side runs as a single
+    fused XLA program."""
     bounds = get_hp_bounds(cfg, info, history, i_optz)
-    x0_all = select_hp_x0(cfg, spec, info, data, eta_const, bounds, seed)
+    hp_best = cfg.lkd_optz_start_mtd == "hp_best"
+    n0 = cfg.lkd_hp_best_n_eval if hp_best else cfg.optz_n_x0
+    x0_all = jnp.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub,
+                                        seed))
 
     lb = jnp.asarray(bounds.box_lb)
     ub = jnp.asarray(bounds.box_ub)
 
-    solver = _jit_solver(cfg, spec, info, cfg.optz_iter_max, cfg.optz_tol_obj)
-    res = solver(x0_all, lb, ub, data, eta_const)
-    fvals = jnp.where(jnp.isfinite(res.f), res.f, jnp.inf)
-    best = jnp.argmin(fvals)
-    best_hp = res.x[best]
-
-    lkd = _jit_lkd_cond(cfg, spec, info)(best_hp, data, eta_const)
-    # one batched device->host pull (per-scalar pulls dominate wall-clock on
-    # remote-TPU links)
-    conv, n_it, f_best, cond = jax.device_get(
-        (res.converged, res.n_iter, res.f[best], lkd.cond))
+    fused = _jit_fit_fused(cfg, spec, info, cfg.optz_iter_max,
+                           cfg.optz_tol_obj, hp_best)
+    out = fused(x0_all, lb, ub, data, eta_const)
+    (best_hp, f_best, cond, _ln_lkd, conv_mean, it_mean, it_max) = out
+    f_best, cond, conv_mean, it_mean, it_max = jax.device_get(
+        (f_best, cond, conv_mean, it_mean, it_max))
     tele = {
-        "hp_optz_success": float(np.mean(conv)),
-        "hp_optz_iter_mean": float(np.mean(n_it)),
-        "hp_optz_iter_max": float(np.max(n_it)),
+        "hp_optz_success": float(conv_mean),
+        "hp_optz_iter_mean": float(it_mean),
+        "hp_optz_iter_max": float(it_max),
         "hp_optz_con_good": 1.0,
         "optz_n_cho_fail": 0,
         "optz_n_cond2big": 0,

@@ -170,3 +170,27 @@ def test_hp_const_n_eval_path():
     gp.set_hpara("optz", 0)
     np.testing.assert_allclose(np.asarray(gp.hp_vals.theta),
                                [gp.cfg.hp_theta_init])
+
+
+def test_lhs_multistart_mode():
+    """lkd_optz_start_mtd='lhs' with several starts (the reference's
+    optz_n_x0 path) through the vmapped fitter."""
+    x, f, g = _sin_problem()
+    gp = GaussianProcess(1, True, "SqExp", "precon",
+                         lkd_optz_start_mtd="lhs", optz_n_x0=4)
+    gp.init_optz_surr(2)
+    gp.set_data(x, f, np.zeros(8), g, np.zeros((8, 1)))
+    gp.set_hpara("optz", 0)
+    mu = gp.eval_model(x)[0]
+    np.testing.assert_allclose(mu, f, atol=1e-3)
+
+
+def test_finish_optz_surr_truncates():
+    x, f, g = _sin_problem()
+    gp = GaussianProcess(1, True, "SqExp", "precon")
+    gp.init_optz_surr(10)
+    gp.set_data(x, f, np.zeros(8), g, np.zeros((8, 1)))
+    gp.set_hpara("optz", 0)
+    gp.finish_optz_surr(1)
+    assert gp.history.hp_theta.shape[0] == 1
+    assert np.isfinite(gp.history.hp_theta[0, 0])
