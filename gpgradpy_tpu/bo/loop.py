@@ -45,13 +45,20 @@ def _jit_acq_solver(cfg, spec, acq_name, beta, max_iter):
                 cfg, spec, data, state, x[None, :], calc_grad=True)
             if acq_name == "ucb":
                 a, da = acquisition.ucb(mu, sig, dmu, dsig, beta=beta)
+            elif acq_name == "mu":
+                # pure exploitation: minimize the posterior mean (drives the
+                # machine-precision convergence cascade of the paper traces)
+                a, da = mu, dmu
             else:
                 a, da = acquisition.expected_improvement(
                     mu, sig, fval_best, dmu, dsig)
             return a[0], da[0]
 
+        # tight tolerances: the exploitation cascade needs x resolved far
+        # below the default 1e-8 projected-gradient cut
         return lbfgs.lbfgs_box_multistart(acq_and_grad, x0_all, lb, ub,
-                                          max_iter=max_iter)
+                                          max_iter=max_iter,
+                                          tol_g=1e-14, tol_f=1e-16)
 
     return jax.jit(run)
 
@@ -92,6 +99,7 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
            dim: Optional[int] = None, n_init: int = 5,
            kernel_type: str = "SqExp", wellcond_mtd: str = "precon",
            use_grad: bool = True, acq: str = "ei", beta: float = 2.0,
+           exploit_frac: float = 0.0,
            noise_std: float = 0.0, seed: int = 0,
            gp_options: Optional[dict] = None, verbose: bool = False) -> BoTrace:
     """One BO run.  ``obj_fun(x) -> (f, grad)`` with x of shape (m, dim).
@@ -148,7 +156,10 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
         gp.set_hpara("optz", i)
 
         fbest = float(np.min(f_data))
-        x_new = propose_next(gp, lb, ub, fbest, acq=acq, beta=beta,
+        # final exploitation phase: switch to minimizing the posterior mean
+        acq_i = ("mu" if (exploit_frac > 0
+                          and i >= (1.0 - exploit_frac) * n_iter) else acq)
+        x_new = propose_next(gp, lb, ub, fbest, acq=acq_i, beta=beta,
                              seed=seed + i)
         f_new, g_new = obj_fun(x_new[None, :])
         if noise_std > 0:

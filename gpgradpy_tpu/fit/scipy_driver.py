@@ -67,6 +67,11 @@ def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
                 cond, cond_g = cond_val_grad(jnp.asarray(x))
                 self.cond = float(cond)
                 self.cond_grad = np.asarray(cond_g)
+                # cond beyond cond_max_abs: treat as infeasible regardless of
+                # whether the factorization numerically succeeded
+                # (Kernel.py:282-283)
+                if self.cond > cfg.cond_max_abs:
+                    ok = False
             if bool(ok) and np.isfinite(float(val)):
                 self.val = float(val)
                 self.grad = np.asarray(g)

@@ -109,7 +109,7 @@ def calc_lkd_iterative(cfg: GpConfig, spec: DataSpec, data: GpData,
     invK_y = sols[:, 0]
     invK_V = sols[:, 1:]
     A = vand.T @ invK_V
-    beta = jnp.linalg.solve(A, invK_V.T @ data_vec)
+    beta = mean._spd_solve(A, invK_V.T @ data_vec)
     r = data_vec - vand @ beta
     alpha = invK_y - invK_V @ beta          # Keta^-1 r
 

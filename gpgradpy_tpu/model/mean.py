@@ -14,6 +14,7 @@ are computed with differentiable solves, so their hyperparameter gradient
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import linalg
@@ -67,12 +68,21 @@ def eval_mean_fun(mean_fun_type: str, x: jnp.ndarray, beta: jnp.ndarray):
     return mval, mgrad, mhess
 
 
+def _spd_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky-based solve of the small SPD normal-equations matrix.
+    (jnp.linalg.solve lowers to LuDecomposition, which the TPU backend only
+    implements for f32 -- Cholesky works for f64 too.)"""
+    L = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
+
+
 def gls_beta(vand_aug: jnp.ndarray, fac: linalg.CholFac, data_vec: jnp.ndarray):
     """beta = (V^T K^-1 V)^-1 V^T K^-1 y with Cholesky solves, plus the fitted
     mean vector V beta (GpMeanFun.py:98-108)."""
     invK_V = linalg.cho_solve(fac, vand_aug)
     A = vand_aug.T @ invK_V
-    beta = jnp.linalg.solve(A, invK_V.T @ data_vec)
+    beta = _spd_solve(A, invK_V.T @ data_vec)
     return beta, vand_aug @ beta
 
 
@@ -82,5 +92,5 @@ def gls_beta_precon(vand_aug: jnp.ndarray, fac: linalg.CholFac,
     Vp = vand_aug / pvec[:, None]
     invM_Vp = linalg.cho_solve(fac, Vp)
     A = Vp.T @ invM_Vp
-    beta = jnp.linalg.solve(A, invM_Vp.T @ (data_vec / pvec))
+    beta = _spd_solve(A, invM_Vp.T @ (data_vec / pvec))
     return beta, vand_aug @ beta
