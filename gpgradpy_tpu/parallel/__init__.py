@@ -1,1 +1,1 @@
-from . import mesh  # noqa: F401
+from . import mesh, sharded_matvec  # noqa: F401
