@@ -90,6 +90,34 @@ def propose_next(gp: GaussianProcess, lb, ub, fval_best,
     fvals = np.array(res.f, copy=True)
     fvals[~np.isfinite(fvals)] = np.inf
     x_new_s = np.asarray(res.x)[int(np.argmin(fvals))]
+
+    if acq == "mu":
+        # Newton polish on the posterior mean using the surrogate Hessian:
+        # quadratic contraction onto the surrogate minimizer, which drives
+        # the machine-precision convergence cascade of the paper traces
+        xk = x_new_s.copy()
+        for _ in range(4):
+            _, _, dmu, _, d2mu, _ = gp.eval_model(xk[None, :],
+                                                  calc_grad=True,
+                                                  calc_hess=True)
+            gvec = np.asarray(dmu[0], float)
+            H = np.asarray(d2mu[0], float)
+            try:
+                w, Q = np.linalg.eigh(H)
+            except np.linalg.LinAlgError:
+                break
+            if not np.all(np.isfinite(w)):
+                break
+            w = np.maximum(np.abs(w), 1e-12 * max(np.max(np.abs(w)), 1e-30))
+            step = Q @ ((Q.T @ gvec) / w)
+            x_try = np.clip(xk - step, lb_s, ub_s)
+            mu_try = gp.eval_model(x_try[None, :])[0][0]
+            mu_cur = gp.eval_model(xk[None, :])[0][0]
+            if not np.isfinite(mu_try) or mu_try >= mu_cur:
+                break
+            xk = x_try
+        x_new_s = xk
+
     if gp.DataScl is not None:
         x_new_s = gp.DataScl.x_scl_2_init(x_new_s)
     return np.clip(x_new_s, lb, ub)
