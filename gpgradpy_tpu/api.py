@@ -537,6 +537,23 @@ class GaussianProcess:
             out = [None if v is None else v[0] for v in out]
         return tuple(out)
 
+    def make_predict_fn(self, calc_grad: bool = False,
+                        calc_hess: bool = False):
+        """Serving path: returns a jitted callable ``xq -> (mu, sig, ...)``
+        that closes over the device-resident factorization (no host round
+        trips besides the query itself).  Rescaling frames are not supported
+        here (use eval_model)."""
+        self._check_eval_ready()
+        assert self.DataScl is None, "make_predict_fn: no rescaling frames"
+        fn = _jit_eval_model(self.cfg, self.spec, bool(calc_grad),
+                             bool(calc_hess))
+        data, state, dt = self.data, self._eval_state, self.dtype
+
+        def predict(xq):
+            return fn(data, state, jnp.asarray(xq, dt))
+
+        return predict
+
     def eval_model_var(self, x2model_in, calc_grad=False, calc_hess=False,
                        squeeze_nx=False):
         self._check_eval_ready()

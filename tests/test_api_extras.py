@@ -50,3 +50,13 @@ def test_grad_check_utility(capsys):
                            lambda v: 2 * v, print_calc=True)
     np.testing.assert_allclose(fd, gr, rtol=1e-6)
     assert "FD test" in capsys.readouterr().out
+
+
+def test_make_predict_fn_serving_path():
+    gp, x, f, g = _fit_gp()
+    predict = gp.make_predict_fn(calc_grad=True)
+    xq = np.array([[4.2], [6.0]])
+    mu, sig, dmu, dsig, _, _ = predict(xq)
+    mu_ref, sig_ref, dmu_ref, *_ = gp.eval_model(xq, calc_grad=True)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dmu), dmu_ref, rtol=1e-12)
