@@ -388,3 +388,79 @@ def run_nuts(logp_fn: Callable, z0: jnp.ndarray, key: jax.Array,
             "n_leapfrog": n_lf, "step_size": nuts.step,
             "inv_mass": nuts.inv_mass}
     return zs, diag
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed long runs (SURVEY.md section 5.3: restart for long NUTS runs)
+# ---------------------------------------------------------------------------
+
+def save_chain_state(path: str, states: NutsState):
+    """Persist a (possibly chain-batched) NutsState to npz."""
+    import numpy as np
+    np.savez(path, z=np.asarray(states.z), logp=np.asarray(states.logp),
+             grad=np.asarray(states.grad), step=np.asarray(states.step),
+             inv_mass=np.asarray(states.inv_mass),
+             rng=np.asarray(states.rng))
+
+
+def load_chain_state(path: str) -> NutsState:
+    import numpy as np
+    d = np.load(path)
+    return NutsState(z=jnp.asarray(d["z"]), logp=jnp.asarray(d["logp"]),
+                     grad=jnp.asarray(d["grad"]), step=jnp.asarray(d["step"]),
+                     inv_mass=jnp.asarray(d["inv_mass"]),
+                     rng=jnp.asarray(d["rng"], jnp.uint32),
+                     accept_prob=jnp.zeros_like(d["logp"]),
+                     diverging=jnp.zeros(d["logp"].shape, bool),
+                     n_leapfrog=jnp.zeros(d["logp"].shape, jnp.int32))
+
+
+def run_nuts_checkpointed(logp_fn: Callable, z0: jnp.ndarray,
+                          keys: jax.Array, checkpoint_path: str,
+                          n_warmup: int = 500, n_samples: int = 500,
+                          segment: int = 100, max_depth: int = 8,
+                          resume: bool = True, **kw):
+    """Vmapped multi-chain NUTS in segments with an npz checkpoint after each
+    segment; on restart (``resume`` and the checkpoint exists) warmup is
+    skipped and sampling continues from the stored chain states."""
+    import os
+    import numpy as np
+
+    logp_and_grad = jax.value_and_grad(logp_fn)
+
+    def lg(z):
+        v, g = logp_and_grad(z)
+        return (jnp.where(jnp.isfinite(v), v, -jnp.inf),
+                jnp.where(jnp.isfinite(g), g, 0.0))
+
+    step_seg = jax.jit(jax.vmap(
+        lambda st: jax.lax.scan(
+            lambda s, _: ((lambda s2: (s2, (s2.z, s2.diverging)))(
+                nuts_step(lg, s, max_depth))), st, None, length=segment)))
+
+    if resume and os.path.isfile(checkpoint_path):
+        state = load_chain_state(checkpoint_path)
+    else:
+        # warmup once via run_nuts, then reconstruct per-chain states
+        warm = jax.jit(jax.vmap(lambda z, k: run_nuts(
+            logp_fn, z, k, n_warmup=n_warmup, n_samples=1,
+            max_depth=max_depth, **kw)))
+        zs, diag = warm(z0, keys)
+        z_last = zs[:, -1]
+        logp0, grad0 = jax.vmap(lg)(z_last)
+        state = NutsState(z=z_last, logp=logp0, grad=grad0,
+                          step=diag["step_size"], inv_mass=diag["inv_mass"],
+                          rng=jax.vmap(lambda k: jax.random.fold_in(k, 17))(keys),
+                          accept_prob=jnp.zeros_like(logp0),
+                          diverging=jnp.zeros(logp0.shape, bool),
+                          n_leapfrog=jnp.zeros(logp0.shape, jnp.int32))
+        save_chain_state(checkpoint_path, state)
+
+    all_z = []
+    n_seg = -(-n_samples // segment)
+    for _ in range(n_seg):
+        state, (z_seg, _div) = step_seg(state)
+        all_z.append(np.asarray(z_seg))
+        save_chain_state(checkpoint_path, state)
+    zs = np.concatenate(all_z, axis=1)[:, :n_samples]
+    return zs, state

@@ -137,3 +137,26 @@ def test_diagnostics_rhat_ess():
                       + np.arange(4)[:, None, None] * 10.0)
     rhat_bad = diagnostics.split_rhat(bad)
     assert np.all(np.asarray(rhat_bad) > 2.0)
+
+
+def test_nuts_checkpointed_resume(tmp_path):
+    """Segmented NUTS with checkpoint: a resumed run continues from the
+    stored chain states (no warmup) and produces valid samples."""
+    logp, cov = _gauss_target()
+    n_chains = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (n_chains, 2))
+    ckpt = str(tmp_path / "chains.npz")
+
+    zs1, state1 = nuts.run_nuts_checkpointed(
+        logp, z0, keys, ckpt, n_warmup=100, n_samples=60, segment=30,
+        max_depth=6)
+    assert zs1.shape == (n_chains, 60, 2)
+
+    # resume: skips warmup, continues from the stored state
+    zs2, state2 = nuts.run_nuts_checkpointed(
+        logp, z0, keys, ckpt, n_warmup=100, n_samples=30, segment=30,
+        max_depth=6, resume=True)
+    assert zs2.shape == (n_chains, 30, 2)
+    s = np.concatenate([zs1, zs2], axis=1).reshape(-1, 2)
+    np.testing.assert_allclose(s.mean(0), [0, 0], atol=0.4)
