@@ -214,6 +214,115 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
                    time_iter=t_iter)
 
 
+def run_bo_constrained(obj_fun: Callable, con_funs, lb, ub, n_iter: int,
+                       dim: Optional[int] = None, n_init: int = 8,
+                       kernel_type: str = "SqExp",
+                       wellcond_mtd: str = "precon", use_grad: bool = True,
+                       seed: int = 0, verbose: bool = False) -> BoTrace:
+    """Constrained BO: one GP per constraint (feasible iff c_i(x) <= 0) next
+    to the objective GP, acquisition = EI x prod_i P(c_i <= 0) (probability
+    of feasibility).  The reference scaffolds multi-surrogate problems via
+    its ``surr_name`` prefixes (GaussianProcess.py:160-164) but ships no
+    constrained loop; this completes it.
+
+    ``con_funs``: list of callables x -> (c, grad_c) like obj_fun.
+    """
+    from jax.scipy.stats import norm as jnorm
+
+    lb = np.asarray(lb, float)
+    ub = np.asarray(ub, float)
+    dim = lb.size if dim is None else dim
+    n_con = len(con_funs)
+
+    x_data = lhs.lhs_sample(n_init, lb, ub, seed=seed)
+    f_data, g_data = obj_fun(x_data)
+    c_data = []
+    cg_data = []
+    for cf in con_funs:
+        c, cg = cf(x_data)
+        c_data.append(c)
+        cg_data.append(cg)
+
+    def make_gp(name):
+        gp = GaussianProcess(dim, use_grad, kernel_type, wellcond_mtd,
+                             surr_name=name, pad_n_eval_multiple=8)
+        gp.init_optz_surr(n_iter + 1)
+        return gp
+
+    gp_obj = make_gp("obj_")
+    gp_con = [make_gp(f"con{i}_") for i in range(n_con)]
+
+    n_total = n_init + n_iter
+    x_all = np.full((n_total, dim), np.nan)
+    merit = np.full(n_total, np.nan)
+    opt = np.full(n_total, np.nan)
+    fsb = np.full(n_total, np.nan)
+    x_all[:n_init] = x_data
+    merit[:n_init] = f_data
+    opt[:n_init] = np.linalg.norm(g_data, axis=1)
+    fsb[:n_init] = np.all(np.stack(c_data, 1) <= 0, axis=1) if n_con else 1.0
+
+    for i in range(n_iter):
+        n = x_data.shape[0]
+        zeros = np.zeros(n)
+        zg = np.zeros((n, dim))
+        gp_obj.set_data(x_data, f_data, zeros, g_data if use_grad else None,
+                        zg if use_grad else None)
+        gp_obj.set_hpara("optz", i)
+        for k in range(n_con):
+            gp_con[k].set_data(x_data, c_data[k], zeros,
+                               cg_data[k] if use_grad else None,
+                               zg if use_grad else None)
+            gp_con[k].set_hpara("optz", i)
+
+        feas_mask = (np.all(np.stack(c_data, 1) <= 0, axis=1)
+                     if n_con else np.ones(n, bool))
+        fbest = (float(np.min(f_data[feas_mask])) if feas_mask.any()
+                 else float(np.min(f_data)))
+
+        # multistart acquisition on EI * prod P(c_i <= 0) (numpy outer loop
+        # over candidates through the jitted per-GP predictors)
+        cand = lhs.lhs_sample(64, lb, ub, seed=seed + i)
+        if feas_mask.any():
+            cand = np.vstack([cand, x_data[feas_mask][
+                np.argmin(f_data[feas_mask])][None, :]])
+        mu, sig = gp_obj.eval_model(cand)[:2]
+        ei, _ = acquisition.expected_improvement(
+            jnp.asarray(mu), jnp.asarray(sig), fbest)
+        score = -np.asarray(ei)
+        for k in range(n_con):
+            muc, sigc = gp_con[k].eval_model(cand)[:2]
+            pof = np.asarray(jnorm.cdf(
+                (0.0 - jnp.asarray(muc)) / jnp.maximum(jnp.asarray(sigc),
+                                                       1e-12)))
+            score = score * pof
+        x_new = cand[int(np.argmax(score))]
+
+        f_new, g_new = obj_fun(x_new[None, :])
+        c_new = []
+        for k, cf in enumerate(con_funs):
+            cv, cg = cf(x_new[None, :])
+            c_data[k] = np.concatenate([c_data[k], cv])
+            cg_data[k] = np.vstack([cg_data[k], cg])
+            c_new.append(cv[0])
+
+        j = n_init + i
+        x_all[j] = x_new
+        merit[j] = f_new[0]
+        opt[j] = np.linalg.norm(g_new[0])
+        fsb[j] = float(all(c <= 0 for c in c_new)) if n_con else 1.0
+        if verbose:
+            print(f"cBO iter {i}: f = {f_new[0]:.4e}, feas = {fsb[j]:.0f}, "
+                  f"best feas = {fbest:.4e}")
+
+        x_data = np.vstack([x_data, x_new[None, :]])
+        f_data = np.concatenate([f_data, f_new])
+        g_data = np.vstack([g_data, g_new])
+
+    return BoTrace(x_all=x_all, merit_all=merit, opt_all=opt, fsb_all=fsb,
+                   time_iter=np.full(n_total, np.nan))
+
+
 def run_bo_multistart(obj_fun: Callable, lb, ub, n_iter: int, n_x0: int = 5,
                       save_path: Optional[str] = None, seed0: int = 0,
                       obj_fun_wo_noise: Optional[Callable] = None,

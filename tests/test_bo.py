@@ -74,3 +74,26 @@ def test_bo_trace_schema(tmp_path):
     assert data["merit_all"].shape == (2, 6)
     assert data["x0_all"].shape == (2, 6, 1)
     assert np.all(np.isfinite(data["merit_all"]))
+
+
+@pytest.mark.slow
+def test_constrained_bo():
+    """Constrained BO: minimize sum(x^2) s.t. x_0 >= 0.5 (i.e. 0.5 - x_0 <= 0)
+    over [-1, 1]^2; optimum at (0.5, 0) with f = 0.25."""
+    def obj(x):
+        x = np.atleast_2d(x)
+        return np.sum(x ** 2, 1), 2 * x
+
+    def con(x):
+        x = np.atleast_2d(x)
+        c = 0.5 - x[:, 0]
+        g = np.zeros_like(x)
+        g[:, 0] = -1.0
+        return c, g
+
+    trace = loop.run_bo_constrained(obj, [con], [-1, -1], [1, 1], n_iter=12,
+                                    n_init=8, seed=0)
+    feas = trace.fsb_all > 0.5
+    assert feas.any()
+    best_feas = np.nanmin(trace.merit_all[feas])
+    assert best_feas < 0.30, best_feas  # optimum 0.25
