@@ -10,7 +10,6 @@ run as one batched XLA program on the accelerator.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

@@ -19,7 +19,6 @@ Bayesian-inference capability specified by BASELINE.json.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -16,7 +16,6 @@ construction (each tile touches only its rows).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -10,7 +10,6 @@ within a slice, DCN across hosts (the BASELINE.json north-star design).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
