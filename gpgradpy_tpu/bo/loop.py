@@ -123,11 +123,65 @@ def propose_next(gp: GaussianProcess, lb, ub, fval_best,
     return np.clip(x_new_s, lb, ub)
 
 
+def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
+                           kernel_type: str, n_local: int, dtype: str,
+                           newton_steps: int = 6):
+    """Trust-region exploitation: fit a FRESH local GP on the n_local points
+    nearest the incumbent, in a centered/unit-scaled frame, and Newton-polish
+    its posterior mean.
+
+    The global surrogate's minimizer carries an absolute bias set by the
+    far-away data (values orders of magnitude larger than the local cluster),
+    which floors the convergence cascade around 1e-8 on Rosenbrock d=5.  A
+    local GP in the incumbent frame is relatively accurate at the cluster
+    scale, so the proposal tracks the true optimum down to machine precision
+    (the mechanism behind the paper traces' 1e-26 merits)."""
+    i_inc = int(np.argmin(f_data))
+    x_inc = x_data[i_inc]
+    d2 = np.sum((x_data - x_inc) ** 2, axis=1)
+    idx = np.argsort(d2)[:n_local]
+    xs, fs, gs = x_data[idx], f_data[idx], g_data[idx]
+
+    # incumbent frame: center on the incumbent, scale to unit spread
+    scale = max(np.sqrt(d2[idx].max()), 1e-300)
+    xs_loc = (xs - x_inc) / scale
+    gs_loc = gs * scale                      # chain rule for the gradients
+
+    dim = x_data.shape[1]
+    gp = GaussianProcess(dim, True, kernel_type, "precon", dtype=dtype)
+    gp.set_data(xs_loc, fs, np.zeros(len(idx)), gs_loc,
+                np.zeros((len(idx), dim)))
+    gp.init_optz_surr(1)
+    gp.set_hpara("optz", 0)
+
+    # Newton on the local posterior mean from the incumbent (frame origin)
+    xk = np.zeros(dim)
+    for _ in range(newton_steps):
+        _, _, dmu, _, d2mu, _ = gp.eval_model(xk[None, :], calc_grad=True,
+                                              calc_hess=True)
+        gvec = np.asarray(dmu[0], float)
+        H = np.asarray(d2mu[0], float)
+        try:
+            w, Q = np.linalg.eigh(H)
+        except np.linalg.LinAlgError:
+            break
+        if not np.all(np.isfinite(w)):
+            break
+        w = np.maximum(np.abs(w), 1e-12 * max(np.max(np.abs(w)), 1e-300))
+        step = Q @ ((Q.T @ gvec) / w)
+        if not np.all(np.isfinite(step)):
+            break
+        xk = xk - step
+
+    x_new = x_inc + np.clip(xk, -2.0, 2.0) * scale   # stay inside the region
+    return np.clip(x_new, lb, ub)
+
+
 def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
            dim: Optional[int] = None, n_init: int = 5,
            kernel_type: str = "SqExp", wellcond_mtd: str = "precon",
            use_grad: bool = True, acq: str = "ei", beta: float = 2.0,
-           exploit_frac: float = 0.0,
+           exploit_frac: float = 0.0, exploit_local: bool = False,
            noise_std: float = 0.0, seed: int = 0,
            gp_options: Optional[dict] = None, verbose: bool = False) -> BoTrace:
     """One BO run.  ``obj_fun(x) -> (f, grad)`` with x of shape (m, dim).
@@ -185,10 +239,16 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
 
         fbest = float(np.min(f_data))
         # final exploitation phase: switch to minimizing the posterior mean
-        acq_i = ("mu" if (exploit_frac > 0
-                          and i >= (1.0 - exploit_frac) * n_iter) else acq)
-        x_new = propose_next(gp, lb, ub, fbest, acq=acq_i, beta=beta,
-                             seed=seed + i)
+        in_exploit = exploit_frac > 0 and i >= (1.0 - exploit_frac) * n_iter
+        if in_exploit and exploit_local and use_grad and noise_std == 0:
+            x_new = _propose_local_exploit(
+                x_data, f_data, g_data, lb, ub, kernel_type,
+                n_local=min(x_data.shape[0], 2 * (dim + 1)),
+                dtype=(gp_options or {}).get("dtype", "float64"))
+        else:
+            acq_i = "mu" if in_exploit else acq
+            x_new = propose_next(gp, lb, ub, fbest, acq=acq_i, beta=beta,
+                                 seed=seed + i)
         f_new, g_new = obj_fun(x_new[None, :])
         if noise_std > 0:
             f_new = f_new + noise_std * rng.standard_normal(1)
