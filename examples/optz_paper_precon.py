@@ -62,7 +62,8 @@ def main():
         loop.run_bo_multistart(
             obj, lb, ub, n_iter=args.n_iter, n_x0=args.n_x0,
             n_init=d + 2, wellcond_mtd=WELLCOND_BY_METHOD[method],
-            acq="ei", save_path=out_npz, verbose=True)
+            acq="ei", exploit_frac=0.5, exploit_local=True,
+            save_path=out_npz, verbose=True)
         our_files.append(os.path.basename(out_npz))
 
     merit, opt, fsb = PltOptzResults.load_npz_data(args.out_dir, our_files,
