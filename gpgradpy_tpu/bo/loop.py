@@ -390,12 +390,24 @@ def run_bo_multistart(obj_fun: Callable, lb, ub, n_iter: int, n_x0: int = 5,
     """n_x0 independent BO runs; writes the PltOptzResults npz schema
     (x0_all (n_x0, n_iter, dim), merit_all / opt_all / fsb_all (+_wo_noise)
     of shape (n_x0, n_iter)) for direct comparison against the bundled
-    reference traces."""
-    traces = [run_bo(obj_fun, lb, ub, n_iter, seed=seed0 + j, **bo_kw)
-              for j in range(n_x0)]
-    n_total = traces[0].merit_all.size
-    dim = traces[0].x_all.shape[1]
+    reference traces.  The npz is (re)written after every completed start so
+    long runs can be harvested early."""
+    traces = []
+    for j in range(n_x0):
+        traces.append(run_bo(obj_fun, lb, ub, n_iter, seed=seed0 + j,
+                             **bo_kw))
+        if save_path is not None and j + 1 < n_x0:
+            partial = _traces_to_dict(traces, obj_fun_wo_noise)
+            np.savez(save_path, **partial)
+    out = _traces_to_dict(traces, obj_fun_wo_noise)
+    if save_path is not None:
+        np.savez(save_path, **out)
+    return out
 
+
+def _traces_to_dict(traces, obj_fun_wo_noise=None) -> dict:
+    n_x0 = len(traces)
+    n_total = traces[0].merit_all.size
     out = {
         "x0_all": np.stack([t.x_all for t in traces]),
         "merit_all": np.stack([t.merit_all for t in traces]),
@@ -416,7 +428,4 @@ def run_bo_multistart(obj_fun: Callable, lb, ub, n_iter: int, n_x0: int = 5,
         out["merit_wo_noise_all"] = out["merit_all"]
         out["opt_wo_noise_all"] = out["opt_all"]
         out["fsb_wo_noise_all"] = out["fsb_all"]
-
-    if save_path is not None:
-        np.savez(save_path, **out)
     return out
