@@ -393,14 +393,15 @@ class GaussianProcess:
                 None if self.DataScl is None else self.DataScl.xvec_scale,
                 self._fval_in, -float(fit.neg_lkd), t_optz, np.nan, np.nan)
 
-    def _run_fit(self, i_optz):
+    def _run_fit(self, i_optz, x0_override=None):
         cfg = self.cfg
         use_scipy = (cfg.optz_mtd in ("slsqp", "SLSQP", "trust-constr")
                      or cfg.b_use_cond_cstr)
         fitter = scipy_driver.fit_map_scipy if use_scipy else multistart.fit_map
         return fitter(cfg, self.spec, self.hp_info_optz_lkd, self.data,
                       self._eta_for_core(), history=self.history,
-                      i_optz=i_optz, seed=self._fit_seed)
+                      i_optz=i_optz, seed=self._fit_seed,
+                      x0_override=x0_override)
 
     def _optz_hp_rescale_loop(self, i_optz):
         """Rescaling fixed-point outer loop
@@ -426,9 +427,11 @@ class GaussianProcess:
             scale_all[cnt] = xvec_new
             if cnt == max_iter - 1 or est_dist < cfg.cond_vreq_iter_tol:
                 break
-            best_hp = best_hp.copy()
-            best_hp[:cfg.dim] = theta_new
-            fit = self._run_fit(i_optz)
+            # warm-start the next inner fit from the previous best hp with
+            # the rescaled theta as its single start (OptzLkd.py:165-168)
+            warm = best_hp.copy()
+            warm[:cfg.dim] = theta_new
+            fit = self._run_fit(i_optz, x0_override=warm[None, :])
             best_hp = np.asarray(fit.hp_vec)
             theta_new = best_hp[:cfg.dim]
             cnt += 1

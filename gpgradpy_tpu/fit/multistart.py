@@ -194,16 +194,24 @@ def select_hp_x0(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
 
 def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
             eta_const: float, history=None, i_optz: int = 0,
-            seed: int = 1) -> FitResult:
+            seed: int = 1, x0_override=None) -> FitResult:
     """One full MAP hyperparameter fit: bounds -> starts -> vmapped L-BFGS ->
     best solution + final condition number (GpHparaOptz.optz_hp +
     OptzLkd.optz_hp_max_lkd semantics).  The device side runs as a single
-    fused XLA program."""
+    fused XLA program.
+
+    x0_override (k, n_hp) replaces the LHS/hp_best start policy with the
+    given starts — used by the rescale fixed-point loop to warm-start from
+    the previous best hp (OptzLkd.py:165-168)."""
     bounds = get_hp_bounds(cfg, info, history, i_optz)
-    hp_best = cfg.lkd_optz_start_mtd == "hp_best"
-    n0 = cfg.lkd_hp_best_n_eval if hp_best else cfg.optz_n_x0
-    x0_all = jnp.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub,
-                                        seed))
+    if x0_override is not None:
+        hp_best = False
+        x0_all = jnp.atleast_2d(jnp.asarray(x0_override))
+    else:
+        hp_best = cfg.lkd_optz_start_mtd == "hp_best"
+        n0 = cfg.lkd_hp_best_n_eval if hp_best else cfg.optz_n_x0
+        x0_all = jnp.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub,
+                                            seed))
 
     lb = jnp.asarray(bounds.box_lb)
     ub = jnp.asarray(bounds.box_ub)

@@ -90,10 +90,14 @@ def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
 
 def fit_map_scipy(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
                   eta_const: float, history=None, i_optz: int = 0,
-                  seed: int = 1) -> FitResult:
+                  seed: int = 1, x0_override=None) -> FitResult:
     bounds = get_hp_bounds(cfg, info, history, i_optz)
-    x0_all = np.asarray(select_hp_x0(cfg, spec, info, data, eta_const, bounds,
-                                     seed))
+    if x0_override is not None:
+        # warm start from the rescale fixed-point loop (OptzLkd.py:165-168)
+        x0_all = np.atleast_2d(np.asarray(x0_override, float))
+    else:
+        x0_all = np.asarray(select_hp_x0(cfg, spec, info, data, eta_const,
+                                         bounds, seed))
     memo = _make_callbacks(cfg, spec, info, data, eta_const)
     use_cstr = cfg.b_use_cond_cstr
 
