@@ -39,6 +39,20 @@ def _jit_lkd(cfg, spec, calc_cond):
 
 
 @lru_cache(maxsize=256)
+def _jit_lkd_cast(cfg, spec, calc_cond):
+    """Like _jit_lkd but promoting f32 data/hp to the cfg's (predict)
+    precision inside the traced program — the polish-mode closed form."""
+    from .types import cast_float_tree
+
+    def run(data, hp, eta):
+        dt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        return likelihood.calc_lkd(cfg, spec, cast_float_tree(data, dt),
+                                   cast_float_tree(hp, dt), eta,
+                                   calc_cond=calc_cond)
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=256)
 def _jit_setup_eval(cfg, spec, calc_cond):
     return jax.jit(lambda data, hp, eta: predict.setup_eval(
         cfg, spec, data, hp, eta, calc_cond=calc_cond))
@@ -129,6 +143,24 @@ class GaussianProcess:
     @property
     def dtype(self):
         return jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
+
+    @property
+    def cfg_predict(self) -> GpConfig:
+        """Config the predict path (and closed-form beta/varK) runs under.
+        With polish enabled the model is evaluated in f64 at the tighter
+        polish condition target even though the main fit ran in f32."""
+        cfg = self.cfg
+        if cfg.polish_cond_target:
+            return dataclasses.replace(
+                cfg, dtype="float64", cond_max_target=cfg.polish_cond_target,
+                use_pallas=False)
+        return cfg
+
+    def _eta_for_predict(self) -> float:
+        cfg = self.cfg
+        if cfg.polish_cond_target:
+            return float(conditioning.calc_etaK(self.cfg_predict, self.n_eval))
+        return self._eta_for_core()
 
     # convenience mirrors of derived reference attributes
     @property
@@ -377,9 +409,14 @@ class GaussianProcess:
             fit = self._optz_hp_rescale_loop(i_optz)
         else:
             fit = self._run_fit(i_optz)
+        if cfg.polish_cond_target:
+            fit = self._polish_fit(fit, i_optz)
         t_optz = time.time() - t0
 
-        hp_vals = self.hp_vec2dataclass(self.hp_info_optz_lkd, fit.hp_vec)
+        dtp = (jnp.float64 if self.cfg_predict.dtype == "float64"
+               else self.dtype)
+        hp_vals = hp_vec_to_hypers(self.hp_info_optz_lkd,
+                                   jnp.asarray(fit.hp_vec, dtp))
         hp_vals = self._closed_form(hp_vals)
         # pull the hp pytree to host in one transfer before the per-field
         # history writes (scalar pulls are expensive on remote-TPU links)
@@ -402,6 +439,27 @@ class GaussianProcess:
                       self._eta_for_core(), history=self.history,
                       i_optz=i_optz, seed=self._fit_seed,
                       x0_override=x0_override)
+
+    def _polish_fit(self, fit, i_optz):
+        """Warm single-start f64 re-fit at cfg.polish_cond_target.
+
+        The TPU full-quality recipe: the f32 multistart at cond~1e6 finds the
+        basin fast; ~15 emulated-f64 L-BFGS iterations at the tight target
+        (e.g. 1e10) recover the f64-parity hyperparameters.  The final
+        eigh-based condition number is skipped (f64 eigh costs minutes of
+        XLA compile time on TPU); the main fit's cond is kept for telemetry.
+        """
+        from .types import cast_float_tree
+        cfgp = dataclasses.replace(self.cfg_predict,
+                                   optz_iter_max=self.cfg.polish_iter_max)
+        data64 = cast_float_tree(self.data, jnp.float64)
+        x0 = np.asarray(fit.hp_vec, np.float64)[None, :]
+        fit2 = multistart.fit_map(
+            cfgp, self.spec, self.hp_info_optz_lkd, data64,
+            float(conditioning.calc_etaK(cfgp, self.n_eval)),
+            history=self.history, i_optz=i_optz, x0_override=x0,
+            with_cond=False)
+        return fit2._replace(cond=fit.cond, info=fit.info)
 
     def _optz_hp_rescale_loop(self, i_optz):
         """Rescaling fixed-point outer loop
@@ -472,7 +530,11 @@ class GaussianProcess:
         return theta_out, dist2, xvec_new
 
     def _closed_form(self, hp_vals: Hypers) -> Hypers:
-        lkd, _ = self.calc_lkd_all(hp_vals, calc_lkd=False)
+        # closed-form beta/varK at the PREDICT precision/conditioning: these
+        # feed the surrogate directly, so under polish they are recovered
+        # from the f64 cond-target covariance, not the f32 fit one
+        fn = _jit_lkd_cast(self.cfg_predict, self.spec, False)
+        lkd = fn(self.data, hp_vals, self._eta_for_predict())
         varK = hp_vals.varK if self.spec.b_has_noisy_data else lkd.varK
         return hp_vals._replace(beta=lkd.beta, varK=varK)
 
@@ -503,8 +565,9 @@ class GaussianProcess:
     def setup_eval_model(self, calc_cond: bool = False):
         assert self.hp_vals is not None, "hyperparameters not set"
         self._hp_vals_model_setup = self.hp_vals
-        fn = _jit_setup_eval(self.cfg, self.spec, bool(calc_cond))
-        self._eval_state = fn(self.data, self.hp_vals, self._eta_for_core())
+        fn = _jit_setup_eval(self.cfg_predict, self.spec, bool(calc_cond))
+        self._eval_state = fn(self.data, self.hp_vals,
+                              self._eta_for_predict())
         self.condK = (float(self._eval_state.cond) if calc_cond else None)
 
     def _check_eval_ready(self):
@@ -526,7 +589,7 @@ class GaussianProcess:
         if self.DataScl is not None:
             xq = self.DataScl.x_init_2_scl(xq)
 
-        fn = _jit_eval_model(self.cfg, self.spec, bool(calc_grad),
+        fn = _jit_eval_model(self.cfg_predict, self.spec, bool(calc_grad),
                              bool(calc_hess))
         mu, sig, dmu, dsig, d2mu, d2sig = fn(self.data, self._eval_state,
                                              jnp.asarray(xq, self.dtype))
@@ -548,7 +611,7 @@ class GaussianProcess:
         here (use eval_model)."""
         self._check_eval_ready()
         assert self.DataScl is None, "make_predict_fn: no rescaling frames"
-        fn = _jit_eval_model(self.cfg, self.spec, bool(calc_grad),
+        fn = _jit_eval_model(self.cfg_predict, self.spec, bool(calc_grad),
                              bool(calc_hess))
         data, state, dt = self.data, self._eval_state, self.dtype
 
@@ -565,7 +628,7 @@ class GaussianProcess:
         xq = np.atleast_2d(np.asarray(x2model_in, float))
         if squeeze_nx:
             assert xq.shape[0] == 1
-        fn = _jit_eval_var(self.cfg, self.spec, bool(calc_grad),
+        fn = _jit_eval_var(self.cfg_predict, self.spec, bool(calc_grad),
                            bool(calc_hess))
         sig2, dsig2, d2sig2 = fn(self.data, self._eval_state,
                                  jnp.asarray(xq, self.dtype))

@@ -183,7 +183,9 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
            use_grad: bool = True, acq: str = "ei", beta: float = 2.0,
            exploit_frac: float = 0.0, exploit_local: bool = False,
            noise_std: float = 0.0, seed: int = 0,
-           gp_options: Optional[dict] = None, verbose: bool = False) -> BoTrace:
+           gp_options: Optional[dict] = None, verbose: bool = False,
+           checkpoint_cb: Optional[Callable] = None,
+           checkpoint_every: int = 10) -> BoTrace:
     """One BO run.  ``obj_fun(x) -> (f, grad)`` with x of shape (m, dim).
 
     Per iteration: GP.set_data -> set_hpara('optz', i) -> propose_next ->
@@ -269,6 +271,14 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
         std_f = np.concatenate([std_f, [noise_std if noise_std > 0 else 0.0]])
         std_g = np.vstack([std_g, np.full((1, dim),
                                           noise_std if noise_std > 0 else 0.0)])
+
+        # periodic checkpoint so a crash mid-run (e.g. a TPU worker restart
+        # hours in) loses at most checkpoint_every iterations; un-run
+        # iterations stay NaN in the partial trace
+        if checkpoint_cb is not None and (i + 1) % checkpoint_every == 0:
+            checkpoint_cb(BoTrace(x_all=x_all.copy(), merit_all=merit.copy(),
+                                  opt_all=opt.copy(), fsb_all=fsb.copy(),
+                                  time_iter=t_iter.copy()))
 
     return BoTrace(x_all=x_all, merit_all=merit, opt_all=opt, fsb_all=fsb,
                    time_iter=t_iter)
@@ -394,8 +404,13 @@ def run_bo_multistart(obj_fun: Callable, lb, ub, n_iter: int, n_x0: int = 5,
     long runs can be harvested early."""
     traces = []
     for j in range(n_x0):
+        cb = None
+        if save_path is not None:
+            def cb(partial_trace):
+                np.savez(save_path, **_traces_to_dict(
+                    traces + [partial_trace], obj_fun_wo_noise))
         traces.append(run_bo(obj_fun, lb, ub, n_iter, seed=seed0 + j,
-                             **bo_kw))
+                             checkpoint_cb=cb, **bo_kw))
         if save_path is not None and j + 1 < n_x0:
             partial = _traces_to_dict(traces, obj_fun_wo_noise)
             np.savez(save_path, **partial)

@@ -92,6 +92,23 @@ class GpConfig:
     b_optz_hp_kernel: bool = True
     varK_min: float = 1e-32
     dtype: str = "float64"                # 'float64' (parity) or 'float32' (TPU fast path)
+    n_refine_predict: int = 0             # mixed-precision prediction: assemble the
+                                          # covariance in f64, factor in f32, and run
+                                          # this many iterative-refinement steps on
+                                          # every predict-path solve (needs
+                                          # jax_enable_x64; meaningful with
+                                          # dtype='float32' and cond<=~1e7)
+    polish_cond_target: float = 0.0       # > 0: after the main (f32) multistart
+                                          # fit, warm-start a single-start f64
+                                          # re-fit at this condition target and
+                                          # run the predict path in f64 at it
+                                          # too.  The TPU full-quality recipe:
+                                          # the cheap f32 fit at cond 1e6 finds
+                                          # the basin, ~15 emulated-f64 L-BFGS
+                                          # iterations at cond 1e10 recover the
+                                          # f64-parity hyperparameters (needs
+                                          # jax_enable_x64)
+    polish_iter_max: int = 20             # L-BFGS iterations for the polish fit
     use_pallas: bool = False              # Pallas tiled covariance assembly on TPU
     pad_n_eval_multiple: int = 0          # shape bucketing: pad n_eval up to a
                                           # multiple so growing datasets (BO)

@@ -124,7 +124,8 @@ def _jit_lkd_cond(cfg: GpConfig, spec: DataSpec, info: HpInfo):
 
 @lru_cache(maxsize=256)
 def _jit_fit_fused(cfg: GpConfig, spec: DataSpec, info: HpInfo,
-                   max_iter: int, tol_f: float, hp_best: bool):
+                   max_iter: int, tol_f: float, hp_best: bool,
+                   with_cond: bool = True):
     """One XLA program for the whole fit: (optionally) the hp_best scan over
     the candidate points, the (multi-start) L-BFGS, and the final
     likelihood + condition-number evaluation.  One device dispatch per fit
@@ -151,8 +152,11 @@ def _jit_fit_fused(cfg: GpConfig, spec: DataSpec, info: HpInfo,
         fvals = jnp.where(jnp.isfinite(res.f), res.f, jnp.inf)
         best = jnp.argmin(fvals)
         best_hp = res.x[best]
+        # with_cond=False skips the final eigh-based condition number: in
+        # emulated f64 on TPU the eigh alone costs minutes of compile time
+        # (the polish fit reuses the main fit's cond for telemetry instead)
         lkd = likelihood.calc_lkd_hp_vec(cfg, spec, info, data, best_hp, eta,
-                                         calc_cond=True)
+                                         calc_cond=with_cond)
         return (best_hp, fvals[best], lkd.cond, lkd.ln_lkd,
                 jnp.mean(res.converged.astype(jnp.float32)),
                 jnp.mean(res.n_iter.astype(jnp.float32)),
@@ -194,7 +198,8 @@ def select_hp_x0(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
 
 def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
             eta_const: float, history=None, i_optz: int = 0,
-            seed: int = 1, x0_override=None) -> FitResult:
+            seed: int = 1, x0_override=None,
+            with_cond: bool = True) -> FitResult:
     """One full MAP hyperparameter fit: bounds -> starts -> vmapped L-BFGS ->
     best solution + final condition number (GpHparaOptz.optz_hp +
     OptzLkd.optz_hp_max_lkd semantics).  The device side runs as a single
@@ -203,21 +208,25 @@ def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     x0_override (k, n_hp) replaces the LHS/hp_best start policy with the
     given starts — used by the rescale fixed-point loop to warm-start from
     the previous best hp (OptzLkd.py:165-168)."""
+    # pin the optimization-space dtype to the config (under jax_enable_x64 a
+    # bare asarray of the numpy starts would silently promote the whole fit
+    # program to f64)
+    dt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     bounds = get_hp_bounds(cfg, info, history, i_optz)
     if x0_override is not None:
         hp_best = False
-        x0_all = jnp.atleast_2d(jnp.asarray(x0_override))
+        x0_all = jnp.atleast_2d(jnp.asarray(x0_override, dt))
     else:
         hp_best = cfg.lkd_optz_start_mtd == "hp_best"
         n0 = cfg.lkd_hp_best_n_eval if hp_best else cfg.optz_n_x0
         x0_all = jnp.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub,
-                                            seed))
+                                            seed), dt)
 
-    lb = jnp.asarray(bounds.box_lb)
-    ub = jnp.asarray(bounds.box_ub)
+    lb = jnp.asarray(bounds.box_lb, dt)
+    ub = jnp.asarray(bounds.box_ub, dt)
 
     fused = _jit_fit_fused(cfg, spec, info, cfg.optz_iter_max,
-                           cfg.optz_tol_obj, hp_best)
+                           cfg.optz_tol_obj, hp_best, with_cond)
     out = fused(x0_all, lb, ub, data, eta_const)
     (best_hp, f_best, cond, _ln_lkd, conv_mean, it_mean, it_max) = out
     f_best, cond, conv_mean, it_mean, it_max = jax.device_get(

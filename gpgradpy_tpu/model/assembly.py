@@ -107,6 +107,7 @@ def calc_kern(cfg: GpConfig, spec: DataSpec, x: jnp.ndarray, hp: Hypers):
     vectorized XLA closed forms."""
     idx = spec.idx_grad_arr
     if (cfg.use_pallas and cfg.use_grad and idx is None
+            and x.dtype != jnp.float64
             and jax.default_backend() != "cpu"):
         alpha = hp.kernel if hp.kernel is not None else jnp.asarray(0.0, x.dtype)
         return _pallas_kern_ad(cfg.kernel_type)(x, hp.theta, alpha)
@@ -117,12 +118,18 @@ def calc_kern(cfg: GpConfig, spec: DataSpec, x: jnp.ndarray, hp: Hypers):
 
 def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
                   eta_const: float, varK: Optional[jnp.ndarray] = None,
-                  Kern: Optional[jnp.ndarray] = None) -> KetaOps:
+                  Kern: Optional[jnp.ndarray] = None,
+                  factor_dtype=None) -> KetaOps:
     """Assemble and factorize the regularized covariance (correlation scale).
 
     ``varK`` scales the noise term only (Kern_w_noise = K + diag(noise)/varK,
     Kernel.py:218); in the noise-free regime pass varK=1 (the reference's
     ``calc_Kern_w_chofac``, Kernel.py:128-138).
+
+    ``factor_dtype`` (e.g. jnp.float32) factorizes a downcast copy of M while
+    keeping M itself in the assembly precision — the mixed-precision mode
+    where solves go through ``linalg.refine_solve`` against the full-precision
+    M (see predict._ops_solve).
     """
     if Kern is None:
         Kern = calc_kern(cfg, spec, data.x, hp)
@@ -147,8 +154,10 @@ def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
             etaK = (jnp.max(jnp.sum(jnp.abs(Kcor), axis=1))
                     / (cfg.cond_max_target - 1.0))
         M = Kcor + etaK * jnp.eye(n_data, dtype=Kern.dtype)
-        fac = linalg.cholesky_ok(M)
-        logdet = linalg.logdet_from_chol(fac) + 2.0 * jnp.sum(jnp.log(pvec))
+        fac = linalg.cholesky_ok(M if factor_dtype is None
+                                 else M.astype(factor_dtype))
+        logdet = (linalg.logdet_from_chol(fac).astype(M.dtype)
+                  + 2.0 * jnp.sum(jnp.log(pvec)))
     else:
         pvec = jnp.ones(n_data, dtype=Kern.dtype)
         if cfg.cond_eta_is_const:
@@ -157,8 +166,9 @@ def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
             etaK = (jnp.max(jnp.sum(jnp.abs(Kern), axis=1))
                     / (cfg.cond_max_target - 1.0))
         M = Kw + etaK * jnp.eye(n_data, dtype=Kern.dtype)
-        fac = linalg.cholesky_ok(M)
-        logdet = linalg.logdet_from_chol(fac)
+        fac = linalg.cholesky_ok(M if factor_dtype is None
+                                 else M.astype(factor_dtype))
+        logdet = linalg.logdet_from_chol(fac).astype(M.dtype)
 
     if pad_mask is not None:
         # padded diagonal entries contribute log(1 + eta) each; remove them

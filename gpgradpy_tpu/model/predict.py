@@ -26,11 +26,43 @@ class EvalState(NamedTuple):
     cond: jnp.ndarray
 
 
+def _predict_dtype(cfg: GpConfig):
+    """The precision the predict path runs in: f64 when the config says so or
+    when mixed-precision refinement is on (both need jax_enable_x64)."""
+    if cfg.dtype == "float64" or cfg.n_refine_predict:
+        return jnp.float64
+    return jnp.float32
+
+
+from ..types import cast_float_tree as _cast_tree  # noqa: E402
+
+
+def _ops_solve(cfg: GpConfig, ops: assembly.KetaOps, b: jnp.ndarray):
+    """Keta^-1 b, with mixed-precision iterative refinement when the factor
+    was taken in a lower precision than M (cfg.n_refine_predict > 0)."""
+    from ..ops import linalg
+    if cfg.n_refine_predict and ops.fac.L.dtype != ops.M.dtype:
+        pb = (b.T / ops.pvec).T
+        y = linalg.refine_solve(ops.fac, ops.M, pb, cfg.n_refine_predict)
+        return (y.T / ops.pvec).T
+    return ops.solve(b)
+
+
 def setup_eval(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
                eta_const: float, calc_cond: bool = False) -> EvalState:
-    """Factorize the varK-normalized covariance and cache Keta^-1 (y - m)."""
+    """Factorize the varK-normalized covariance and cache Keta^-1 (y - m).
+
+    With ``cfg.n_refine_predict > 0`` the covariance is assembled in f64 and
+    factorized in f32; every predict-path solve then runs mixed-precision
+    iterative refinement (requires jax_enable_x64).  With ``cfg.dtype ==
+    'float64'`` any f32 inputs are promoted so a facade whose fit ran in f32
+    can still evaluate the model at full precision (the polish mode)."""
+    dt = _predict_dtype(cfg)
+    data, hp = _cast_tree(data, dt), _cast_tree(hp, dt)
+    factor_dtype = jnp.float32 if cfg.n_refine_predict else None
     ops = assembly.assemble_keta(cfg, spec, data, hp, eta_const,
-                                 varK=hp.varK if spec.b_has_noisy_data else None)
+                                 varK=hp.varK if spec.b_has_noisy_data else None,
+                                 factor_dtype=factor_dtype)
     data_vec = likelihood.make_data_vec(spec, data)
     vand = mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad,
                               spec.idx_grad_arr)
@@ -40,7 +72,7 @@ def setup_eval(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
         vand = vand * mv[:, None]
         data_vec = data_vec * mv
     mean_vec = vand @ hp.beta
-    invK_fdiff = ops.solve(data_vec - mean_vec)
+    invK_fdiff = _ops_solve(cfg, ops, data_vec - mean_vec)
     cond = assembly.calc_cond(ops) if calc_cond else jnp.asarray(jnp.nan)
     return EvalState(ops=ops, invK_fdiff=invK_fdiff, hp=hp, cond=cond)
 
@@ -85,11 +117,13 @@ def eval_model(cfg: GpConfig, spec: DataSpec, data: GpData, state: EvalState,
     requested (GpEvalModel.eval_model, GpEvalModel.py:59-198)."""
     hp = state.hp
     nx, dim = xq.shape
+    dt = _predict_dtype(cfg)
+    data, xq, hp = _cast_tree(data, dt), _cast_tree(xq, dt), _cast_tree(hp, dt)
     varK = hp.varK
     sigK = jnp.sqrt(varK)
 
     Kyx, dKxy_dx = _cross_cov(cfg, spec, data.x, xq, hp)
-    Kxy_invK = state.ops.solve(Kyx).T                      # (nx, n_data)
+    Kxy_invK = _ops_solve(cfg, state.ops, Kyx).T           # (nx, n_data)
 
     mval, mgrad, mhess = mean.eval_mean_fun(cfg.mean_fun_type, xq, hp.beta)
 
@@ -122,7 +156,7 @@ def eval_model(cfg: GpConfig, spec: DataSpec, data: GpData, state: EvalState,
         #                            + dKxy_dx[k*nx+q] . Keta^-1 dKxy_dx[i*nx+q])
         Ht = H.reshape(dim, dim, nx, spec.n_data_tot)      # (k, i, q, m)
         term1 = jnp.einsum("kiqm,qm->qki", Ht, Kxy_invK)
-        solve_dK = state.ops.solve(dKxy_dx.T)              # (n_data, nx*d)
+        solve_dK = _ops_solve(cfg, state.ops, dKxy_dx.T)   # (n_data, nx*d)
         D = dKxy_dx.reshape(dim, nx, spec.n_data_tot)      # (k, q, m)
         S = solve_dK.T.reshape(dim, nx, spec.n_data_tot)   # (i, q, m)
         term2h = jnp.einsum("kqm,iqm->qki", D, S)
@@ -144,10 +178,12 @@ def eval_model_var(cfg: GpConfig, spec: DataSpec, data: GpData,
     GpEvalModel.py:200-317); unlike the reference, the Hessian is implemented."""
     hp = state.hp
     nx, dim = xq.shape
+    dt = _predict_dtype(cfg)
+    data, xq, hp = _cast_tree(data, dt), _cast_tree(xq, dt), _cast_tree(hp, dt)
     varK = hp.varK
 
     Kyx, dKxy_dx = _cross_cov(cfg, spec, data.x, xq, hp)
-    Kxy_invK = state.ops.solve(Kyx).T
+    Kxy_invK = _ops_solve(cfg, state.ops, Kyx).T
 
     sig2 = varK * jnp.maximum(1.0 - jnp.sum(Kyx.T * Kxy_invK, axis=1), 0.0)
 
@@ -163,7 +199,7 @@ def eval_model_var(cfg: GpConfig, spec: DataSpec, data: GpData,
                                 idx_g2=spec.idx_grad_arr)
         Ht = H.reshape(dim, dim, nx, spec.n_data_tot)
         term1 = jnp.einsum("kiqm,qm->qki", Ht, Kxy_invK)
-        solve_dK = state.ops.solve(dKxy_dx.T)
+        solve_dK = _ops_solve(cfg, state.ops, dKxy_dx.T)
         D = dKxy_dx.reshape(dim, nx, spec.n_data_tot)
         S = solve_dK.T.reshape(dim, nx, spec.n_data_tot)
         term2h = jnp.einsum("kqm,iqm->qki", D, S)

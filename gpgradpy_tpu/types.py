@@ -248,3 +248,17 @@ def hypers_to_hp_vec(info: HpInfo, hp: Hypers) -> jnp.ndarray:
     vec = jnp.concatenate(parts) if parts else jnp.zeros((0,))
     bvec = jnp.asarray(info.bvec_log)
     return jnp.where(bvec, jnp.log10(vec), vec)
+
+
+def cast_float_tree(tree, dt):
+    """Cast every floating-point leaf of a pytree to dtype ``dt`` (used by the
+    mixed-precision predict/polish paths to promote f32-stored data/hypers to
+    f64 inside a traced program)."""
+    import jax
+
+    def c(a):
+        if (a is not None and hasattr(a, "dtype")
+                and jnp.issubdtype(a.dtype, jnp.floating) and a.dtype != dt):
+            return a.astype(dt)
+        return a
+    return jax.tree_util.tree_map(c, tree)
