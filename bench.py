@@ -44,18 +44,26 @@ def _problem(n=64, d=4, seed=0):
     return x, f, g, x_test, f_test
 
 
-def bench_ours(n=64, d=4, repeats=3, verbose=False):
+def bench_ours(n=64, d=4, repeats=3, verbose=False, fast_mode=False):
+    """Full-quality mode (default): on TPU the f32 multistart fit at cond 1e6
+    is followed by a warm single-start f64 polish at cond 1e10 and an f64
+    predict path -- the SAME predictive quality as the f64 reference (0.17%
+    rel RMSE on this problem) at a fraction of its wall clock.  fast_mode
+    drops the polish (f32 only, ~3% rel RMSE, another ~10x faster)."""
     import jax
+    jax.config.update("jax_enable_x64", True)   # polish/predict f64 path
     from gpgradpy_tpu import GaussianProcess
 
     x, f, g, x_test, f_test = _problem(n, d)
     platform = jax.devices()[0].platform
     dtype = "float32" if platform != "cpu" else "float64"
     cond_t = 1e6 if dtype == "float32" else 1e10
+    polish = 0.0 if (fast_mode or dtype == "float64") else 1e10
 
     def one_fit(seed):
         gp = GaussianProcess(d, True, "SqExp", "precon", dtype=dtype,
-                             cond_max_target=cond_t)
+                             cond_max_target=cond_t,
+                             polish_cond_target=polish, polish_iter_max=10)
         gp._fit_seed = seed
         gp.init_optz_surr(2)
         gp.set_data(x, f, np.zeros(n), g, np.zeros((n, d)))
@@ -74,7 +82,7 @@ def bench_ours(n=64, d=4, repeats=3, verbose=False):
     mu = gp.eval_model(x_test)[0]
     rmse = float(np.sqrt(np.mean((mu - f_test) ** 2)))
     if verbose:
-        print(f"[ours] platform={platform} dtype={dtype} "
+        print(f"[ours] platform={platform} dtype={dtype} polish={polish:g} "
               f"compile+run={t_compile:.2f}s warm={t_warm:.3f}s "
               f"rmse={rmse:.4g}", file=sys.stderr)
     return t_warm, rmse, platform
@@ -174,9 +182,14 @@ def main():
                     help="skip the reference baseline (use cache or nan)")
     ap.add_argument("--nuts", action="store_true",
                     help="also benchmark NUTS samples/s (stderr)")
+    ap.add_argument("--fast", action="store_true",
+                    help="fast f32-only mode (no f64 polish; ~3% rel RMSE)")
     args = ap.parse_args()
 
-    t_ours, rmse_ours, platform = bench_ours(verbose=args.verbose)
+    t_ours, rmse_ours, platform = bench_ours(verbose=args.verbose,
+                                             fast_mode=args.fast)
+    if args.verbose and not args.fast:
+        bench_ours(verbose=True, fast_mode=True)   # fast-mode diagnostic
     if args.no_ref:
         t_ref, rmse_ref = bench_reference(use_cache=True, verbose=args.verbose) \
             if True else (float("nan"), float("nan"))
@@ -186,15 +199,14 @@ def main():
     if args.nuts:
         bench_nuts(verbose=True)
 
-    # quality gate: a fast but broken fit must not count.  The f32 TPU path
-    # with cond target 1e6 lands at ~3% relative RMSE on this problem (the
-    # f32 precision floor through a cond-1e6 solve); the f64 reference gets
-    # ~0.2%.  Gate at 5% of the test-function scale so a genuinely broken
-    # fit (wrong theta basin, failed Cholesky) zeroes the score while the
-    # documented precision trade-off does not.
+    # quality gate: a fast but broken fit must not count.  The default
+    # (polish) mode matches the f64 reference quality (~0.2% rel RMSE on
+    # this problem); gate at 1% of the test-function scale so a genuinely
+    # broken fit (wrong theta basin, failed Cholesky, broken polish) zeroes
+    # the score.
     _, _, _, _, f_test = _problem()
     f_scale = float(np.std(f_test))
-    quality_ok = rmse_ours < 0.05 * f_scale
+    quality_ok = rmse_ours < (0.05 if args.fast else 0.01) * f_scale
     if not quality_ok:
         print(f"[bench] QUALITY GATE FAILED: rmse_ours={rmse_ours:.4g} "
               f"(limit {0.05 * f_scale:.4g}, rmse_ref={rmse_ref:.4g})",
