@@ -154,8 +154,12 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
     gp.init_optz_surr(1)
     gp.set_hpara("optz", 0)
 
-    # Newton on the local posterior mean from the incumbent (frame origin)
+    # Newton on the local posterior mean from the incumbent (frame origin),
+    # accepting a step only if the predicted mean decreases (otherwise a
+    # saddle/garbage local fit can fling the proposal to the trust-region
+    # boundary and stall the outer loop on one repeated far point)
     xk = np.zeros(dim)
+    mu_cur = float(gp.eval_model(xk[None, :])[0][0])
     for _ in range(newton_steps):
         _, _, dmu, _, d2mu, _ = gp.eval_model(xk[None, :], calc_grad=True,
                                               calc_hess=True)
@@ -171,9 +175,13 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
         step = Q @ ((Q.T @ gvec) / w)
         if not np.all(np.isfinite(step)):
             break
-        xk = xk - step
+        x_try = np.clip(xk - step, -2.0, 2.0)
+        mu_try = float(gp.eval_model(x_try[None, :])[0][0])
+        if not np.isfinite(mu_try) or mu_try >= mu_cur:
+            break
+        xk, mu_cur = x_try, mu_try
 
-    x_new = x_inc + np.clip(xk, -2.0, 2.0) * scale   # stay inside the region
+    x_new = x_inc + xk * scale
     return np.clip(x_new, lb, ub)
 
 
@@ -251,6 +259,13 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
             acq_i = "mu" if in_exploit else acq
             x_new = propose_next(gp, lb, ub, fbest, acq=acq_i, beta=beta,
                                  seed=seed + i)
+        # duplicate guard: a proposal (numerically) identical to an existing
+        # datum adds no information and can lock the loop onto one point --
+        # fall back to the exploratory acquisition instead
+        dmin = float(np.min(np.linalg.norm(x_data - x_new[None, :], axis=1)))
+        if dmin < 1e-9 * float(np.linalg.norm(ub - lb)):
+            x_new = propose_next(gp, lb, ub, fbest, acq=acq, beta=beta,
+                                 seed=seed + 7919 * (i + 1))
         f_new, g_new = obj_fun(x_new[None, :])
         if noise_std > 0:
             f_new = f_new + noise_std * rng.standard_normal(1)

@@ -21,7 +21,7 @@ the noisy regime needs the same machinery with varK as a numeric hp.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,15 @@ from ..config import GpConfig
 from ..ops import iterative, kernels, rtensor
 from ..types import DataSpec, GpData, Hypers
 from . import likelihood, mean
+
+
+def _pm_base_diag(cfg: GpConfig, n: int, theta, dtype) -> jnp.ndarray:
+    """Point-major flattened diagonal of K (per point: [1, gamma_1^2, ...,
+    gamma_d^2]) -- the P^2 vector of the precon method in the distributed
+    layout (parallel/sharded_matvec.py)."""
+    gamma2 = kernels.theta2gamma(cfg.kernel_type, theta) ** 2
+    per_pt = jnp.concatenate([jnp.ones(1, dtype), gamma2.astype(dtype)])
+    return jnp.tile(per_pt, n)
 
 
 class IterLkdInfo(NamedTuple):
@@ -57,40 +66,68 @@ def _keta_diag(cfg: GpConfig, spec: DataSpec, hp: Hypers, eta, noise,
 def calc_lkd_iterative(cfg: GpConfig, spec: DataSpec, data: GpData,
                        hp: Hypers, eta_const: float, key: jax.Array,
                        n_probes: int = 16, max_cg_iters: int = 256,
-                       cg_tol: float = 1e-10, row_block: int = 256):
+                       cg_tol: float = 1e-10, row_block: int = 256,
+                       mesh=None):
     """Noise-free MLL via CG + SLQ.  Returns IterLkdInfo.
 
     Restrictions (current): use_grad with ALL gradients, no data rescaling,
     'precon' or 'base' conditioning with constant eta.
+
+    With ``mesh`` (a 1-axis jax Mesh) the matvec shards the point axis over
+    the devices (parallel/sharded_matvec.kern_matvec_sharded_batch) and all
+    vectors live in the point-major layout; n_eval must divide the mesh
+    size.  The MLL value is bitwise layout-invariant up to float reduction
+    order (every term is a dot product through the permuted-consistent
+    matvec).
     """
     assert not spec.b_has_noisy_data, "iterative path: noise-free regime only"
     assert spec.idx_grad_arr is None and spec.n_pad_eval == 0
     dtype = data.x.dtype
     n_data = spec.n_data
     theta = hp.theta
+    eta = eta_const
 
-    noise = jnp.zeros(n_data, dtype)
-    if cfg.wellcond_mtd == "precon":
-        diag = _keta_diag(cfg, spec, hp, eta_const, noise, dtype)
-        pvec2 = diag / (1.0 + eta_const)  # P^2 = diag(K+noise)
-        pvec = jnp.sqrt(pvec2)
-        eta = eta_const
+    if mesh is not None:
+        from ..parallel import sharded_matvec as sm
+        base = _pm_base_diag(cfg, spec.n_eval, theta, dtype)
+        if cfg.wellcond_mtd == "precon":
+            diag = base * (1.0 + eta_const)
+            pvec2_pm = base
+        else:
+            diag = base + eta_const
+            pvec2_pm = None
+
+        def mv(theta_, V):
+            return sm.kern_matvec_sharded_batch(
+                cfg.kernel_type, mesh, data.x, theta_, hp.kernel, V,
+                eta=eta, pvec2_pm=pvec2_pm)
+
+        data_vec = sm.blocked_to_pm_mat(
+            likelihood.make_data_vec(spec, data), spec.n_eval, spec.dim)
+        vand = sm.blocked_to_pm_mat(
+            mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad),
+            spec.n_eval, spec.dim)
     else:
-        gamma2 = kernels.theta2gamma(cfg.kernel_type, theta) ** 2
-        diag = (jnp.concatenate([jnp.ones(spec.n_eval, dtype),
-                                 jnp.repeat(gamma2.astype(dtype),
-                                            spec.n_eval)])
-                + eta_const)
-        pvec = None
-        eta = eta_const
+        noise = jnp.zeros(n_data, dtype)
+        if cfg.wellcond_mtd == "precon":
+            diag = _keta_diag(cfg, spec, hp, eta_const, noise, dtype)
+            pvec2 = diag / (1.0 + eta_const)  # P^2 = diag(K+noise)
+            pvec = jnp.sqrt(pvec2)
+        else:
+            gamma2 = kernels.theta2gamma(cfg.kernel_type, theta) ** 2
+            diag = (jnp.concatenate([jnp.ones(spec.n_eval, dtype),
+                                     jnp.repeat(gamma2.astype(dtype),
+                                                spec.n_eval)])
+                    + eta_const)
+            pvec = None
 
-    def mv(theta_, V):
-        return iterative.kern_matvec(cfg.kernel_type, data.x, theta_,
-                                     hp.kernel, V, row_block=row_block,
-                                     eta=eta, pvec=pvec)
+        def mv(theta_, V):
+            return iterative.kern_matvec(cfg.kernel_type, data.x, theta_,
+                                         hp.kernel, V, row_block=row_block,
+                                         eta=eta, pvec=pvec)
 
-    data_vec = likelihood.make_data_vec(spec, data)
-    vand = mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad)
+        data_vec = likelihood.make_data_vec(spec, data)
+        vand = mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad)
     d_isqrt = 1.0 / jnp.sqrt(diag)
 
     def mv_hat(V):
@@ -130,11 +167,13 @@ def calc_lkd_iterative(cfg: GpConfig, spec: DataSpec, data: GpData,
 def neg_mll_iterative_and_grad(cfg: GpConfig, spec: DataSpec, data: GpData,
                                hp: Hypers, eta_const: float, key: jax.Array,
                                n_probes: int = 16, max_cg_iters: int = 256,
-                               cg_tol: float = 1e-10, row_block: int = 256):
+                               cg_tol: float = 1e-10, row_block: int = 256,
+                               mesh=None):
     """(-ln L, d(-ln L)/d theta) with determinant-free gradients.
 
     The value comes from calc_lkd_iterative; the theta-gradient differentiates
-    the quadratic-form surrogates through the matrix-free matvec.
+    the quadratic-form surrogates through the matrix-free matvec.  ``mesh``
+    shards the matvecs over the point axis as in calc_lkd_iterative.
     """
     assert not spec.b_has_noisy_data
     dtype = data.x.dtype
@@ -143,33 +182,47 @@ def neg_mll_iterative_and_grad(cfg: GpConfig, spec: DataSpec, data: GpData,
 
     info = calc_lkd_iterative(cfg, spec, data, hp, eta_const, key,
                               n_probes=n_probes, max_cg_iters=max_cg_iters,
-                              cg_tol=cg_tol, row_block=row_block)
+                              cg_tol=cg_tol, row_block=row_block, mesh=mesh)
 
     # recompute the solves needed for the gradient (constants under autodiff)
-    noise = jnp.zeros(n_data, dtype)
-    if cfg.wellcond_mtd == "precon":
-        diag = _keta_diag(cfg, spec, hp, eta_const, noise, dtype)
-        pvec = jnp.sqrt(diag / (1.0 + eta_const))
-    else:
-        gamma2 = kernels.theta2gamma(cfg.kernel_type, theta) ** 2
-        diag = (jnp.concatenate([jnp.ones(spec.n_eval, dtype),
-                                 jnp.repeat(gamma2.astype(dtype),
-                                            spec.n_eval)]) + eta_const)
-        pvec = None
+    if mesh is not None:
+        from ..parallel import sharded_matvec as sm
+        base = _pm_base_diag(cfg, spec.n_eval, theta, dtype)
+        diag = (base * (1.0 + eta_const) if cfg.wellcond_mtd == "precon"
+                else base + eta_const)
 
-    def mv_theta(theta_, V):
-        # NOTE: eta * P(theta)^2 depends on theta under 'precon'; that
-        # dependence is part of dKeta/dtheta and flows through autodiff here
+        def mv_theta(theta_, V):
+            # eta * P(theta)^2 depends on theta under 'precon'; that
+            # dependence is part of dKeta/dtheta and flows through autodiff
+            p2 = (_pm_base_diag(cfg, spec.n_eval, theta_, dtype)
+                  if cfg.wellcond_mtd == "precon" else None)
+            return sm.kern_matvec_sharded_batch(
+                cfg.kernel_type, mesh, data.x, theta_, hp.kernel, V,
+                eta=eta_const, pvec2_pm=p2)
+    else:
+        noise = jnp.zeros(n_data, dtype)
         if cfg.wellcond_mtd == "precon":
-            g2 = kernels.theta2gamma(cfg.kernel_type, theta_) ** 2
-            p2 = jnp.concatenate([jnp.ones(spec.n_eval, dtype),
-                                  jnp.repeat(g2.astype(dtype), spec.n_eval)])
-            pv = jnp.sqrt(p2)
+            diag = _keta_diag(cfg, spec, hp, eta_const, noise, dtype)
         else:
-            pv = None
-        return iterative.kern_matvec(cfg.kernel_type, data.x, theta_,
-                                     hp.kernel, V, row_block=row_block,
-                                     eta=eta_const, pvec=pv)
+            gamma2 = kernels.theta2gamma(cfg.kernel_type, theta) ** 2
+            diag = (jnp.concatenate([jnp.ones(spec.n_eval, dtype),
+                                     jnp.repeat(gamma2.astype(dtype),
+                                                spec.n_eval)]) + eta_const)
+
+        def mv_theta(theta_, V):
+            # NOTE: eta * P(theta)^2 depends on theta under 'precon'; that
+            # dependence is part of dKeta/dtheta and flows through autodiff
+            if cfg.wellcond_mtd == "precon":
+                g2 = kernels.theta2gamma(cfg.kernel_type, theta_) ** 2
+                p2 = jnp.concatenate([jnp.ones(spec.n_eval, dtype),
+                                      jnp.repeat(g2.astype(dtype),
+                                                 spec.n_eval)])
+                pv = jnp.sqrt(p2)
+            else:
+                pv = None
+            return iterative.kern_matvec(cfg.kernel_type, data.x, theta_,
+                                         hp.kernel, V, row_block=row_block,
+                                         eta=eta_const, pvec=pv)
 
     d_isqrt = 1.0 / jnp.sqrt(diag)
 
@@ -183,6 +236,10 @@ def neg_mll_iterative_and_grad(cfg: GpConfig, spec: DataSpec, data: GpData,
 
     data_vec = likelihood.make_data_vec(spec, data)
     vand = mean.calc_aug_vand(cfg.mean_fun_type, data.x, spec.use_grad)
+    if mesh is not None:
+        from ..parallel import sharded_matvec as sm
+        data_vec = sm.blocked_to_pm_mat(data_vec, spec.n_eval, spec.dim)
+        vand = sm.blocked_to_pm_mat(vand, spec.n_eval, spec.dim)
     r = data_vec - vand @ info.beta
     alpha = jax.lax.stop_gradient(solve(r[:, None])[:, 0])
 

@@ -80,6 +80,63 @@ def kern_matvec_sharded(kernel_type: str, mesh: Mesh, x: jnp.ndarray,
     return fn(x, V, p2)
 
 
+def blocked_to_pm_mat(M: jnp.ndarray, n: int, dim: int) -> jnp.ndarray:
+    """(n_data, m) in the dense path's block layout ([vals; grads grouped by
+    dim]) -> point-major flattened rows (n*(1+dim), m): each point's value
+    and gradient rows contiguous, so a point shard owns whole row groups."""
+    M2 = M if M.ndim == 2 else M[:, None]
+    vals = M2[:n]
+    grads = M2[n:].reshape(dim, n, -1).transpose(1, 0, 2)       # (n, d, m)
+    out = jnp.concatenate([vals[:, None, :], grads], axis=1)    # (n, 1+d, m)
+    out = out.reshape(n * (1 + dim), -1)
+    return out if M.ndim == 2 else out[:, 0]
+
+
+def pm_to_blocked_mat(M: jnp.ndarray, n: int, dim: int) -> jnp.ndarray:
+    """Inverse of blocked_to_pm_mat."""
+    M2 = M if M.ndim == 2 else M[:, None]
+    pm = M2.reshape(n, 1 + dim, -1)
+    vals = pm[:, 0, :]
+    grads = pm[:, 1:, :].transpose(1, 0, 2).reshape(dim * n, -1)
+    out = jnp.concatenate([vals, grads], axis=0)
+    return out if M.ndim == 2 else out[:, 0]
+
+
+def kern_matvec_sharded_batch(kernel_type: str, mesh: Mesh, x: jnp.ndarray,
+                              theta, alpha, V2: jnp.ndarray,
+                              eta: float = 0.0,
+                              pvec2_pm: Optional[jnp.ndarray] = None):
+    """Batched sharded (Keta V) in the point-major-FLATTENED layout.
+
+    V2: (n*(1+dim), m) with rows grouped by point (blocked_to_pm_mat);
+    x: (n, dim).  Both sharded on their leading axis over the mesh's data
+    axis (n must divide the mesh size so shards split at point boundaries).
+    ``pvec2_pm``: optional flattened P^2 diagonal for the eta * P^2 term.
+    One all_gather of x and of V per call; the row-block einsum is local.
+    Returns (n*(1+dim), m) sharded like V2 -- the building block of the
+    distributed CG/SLQ marginal likelihood (SURVEY.md section 5.7).
+    """
+    n, dim = x.shape
+    m = V2.shape[1]
+
+    def local(x_loc, v_loc, p2_loc):
+        x_all = jax.lax.all_gather(x_loc, DATA_AXIS, tiled=True)
+        vpm = v_loc.reshape(-1, 1 + dim, m)
+        v_all = jax.lax.all_gather(vpm, DATA_AXIS, tiled=True)  # (n, 1+d, m)
+        R = rtensor.calc_rtensor(x_loc, x_all)                  # (d, nl, n)
+        G = kernels.kern_block_tensor(kernel_type, R, theta, alpha)
+        out = jnp.einsum("abij,jbm->iam", G, v_all)             # (nl, 1+d, m)
+        out = out + (eta * p2_loc).reshape(-1, 1 + dim)[:, :, None] * vpm
+        return out.reshape(-1, m)
+
+    spec = P(DATA_AXIS)
+    p2 = (jnp.ones(n * (1 + dim), V2.dtype) if pvec2_pm is None
+          else pvec2_pm)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec, check_rep=False)
+    return fn(x, V2, p2)
+
+
 def shard_points(mesh: Mesh, *arrays):
     """Place arrays with their leading (point) axis sharded over the mesh."""
     sh = NamedSharding(mesh, P(DATA_AXIS))
