@@ -129,6 +129,44 @@ def bench_reference(n=64, d=4, use_cache=True, verbose=False):
     return t_ref, rmse
 
 
+def bench_chol(verbose=False, sizes=(1024, 2048, 4096)):
+    """Cholesky TFLOP/s on-chip (diagnostic; BASELINE.json metric).  Uses a
+    scan of repeated factorizations inside ONE program so the remote-tunnel
+    dispatch latency does not pollute the timing (CLAUDE.md measurement
+    caveat)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    r_lo, r_hi = 4, 36
+    for n in sizes:
+        rng = np.random.default_rng(0)
+        B = jnp.asarray(rng.standard_normal((n, 64)), jnp.float32)
+        A = (B @ B.T) / 64.0 + n * jnp.eye(n, dtype=jnp.float32)
+
+        @partial(jax.jit, static_argnums=1)
+        def many(A, reps):
+            def body(c, _):
+                L = jnp.linalg.cholesky(A + c * 1e-12)
+                return jnp.sum(L[-1]), None
+            return jax.lax.scan(body, 0.0, None, length=reps)[0]
+
+        def timed(reps):
+            float(many(A, reps))               # host pull = true sync
+            t0 = time.time()
+            float(many(A, reps))
+            return time.time() - t0
+
+        # difference of two chain lengths cancels the tunnel round-trip
+        # latency (block_until_ready only measures enqueue on the relay)
+        dt = max(timed(r_hi) - timed(r_lo), 1e-9)
+        per = dt / (r_hi - r_lo)
+        tflops = (n ** 3 / 3.0) / per / 1e12
+        if verbose:
+            print(f"[chol] n={n}: {per*1e3:.2f} ms/factor "
+                  f"-> {tflops:.2f} TFLOP/s", file=sys.stderr)
+
+
 def bench_nuts(verbose=False):
     """NUTS samples/s on the GP hyperparameter posterior (diagnostic)."""
     import jax
@@ -198,6 +236,7 @@ def main():
 
     if args.nuts:
         bench_nuts(verbose=True)
+        bench_chol(verbose=True)
 
     # quality gate: a fast but broken fit must not count.  The default
     # (polish) mode matches the f64 reference quality (~0.2% rel RMSE on
