@@ -89,11 +89,20 @@ def _pallas_kern_ad(kernel_type: str):
 
     def bwd(res, g):
         x, theta, alpha = res
+        # theta-cotangent: fused Pallas contraction (reads Gbar once; never
+        # materializes the (d, N, N) dK tensor).  x/alpha cotangents via the
+        # XLA closed-form VJP -- neither is requested by the MLL autodiff
+        # (x is data, alpha only exists for RatQuad), so XLA dead-code
+        # eliminates them unless actually used.
+        theta_bar = pallas_assembly.kern_grad_pallas_vjp_theta(
+            kernel_type, x, x, theta, alpha, g)
+
         def ref(x, theta, alpha):
             R = rtensor.calc_rtensor(x, x)
             return kernels.kern_grad(kernel_type, R, theta, alpha)
         _, vjp = jax.vjp(ref, x, theta, alpha)
-        return vjp(g)
+        x_bar, _, alpha_bar = vjp(g)
+        return x_bar, theta_bar, alpha_bar
 
     f.defvjp(fwd, bwd)
     return f

@@ -173,3 +173,194 @@ def kern_grad_pallas(kernel_type: str, x1: jnp.ndarray, x2: jnp.ndarray,
     # slice the padded rows/cols out of each derivative block
     out = out.reshape(A, n1p, A, n2p)[:, :n1, :, :n2]
     return out.reshape(A * n1, A * n2)
+
+
+# ---------------------------------------------------------------------------
+# Backward: fused theta-cotangent contraction (no dK/dtheta materialization)
+# ---------------------------------------------------------------------------
+
+def _phi3_tile(kernel_type: str, W, alpha, dtype):
+    """phi''' as a function of the weighted squared distance.  Singular at
+    W -> 0 for Matern-5/2; the caller's contraction multiplies it by
+    Ra*Rb*Rc^2 which vanishes there, so a finite-guard is enough."""
+    if kernel_type == "SqExp":
+        return -jnp.exp(-W)
+    if kernel_type == "Ma5f2":
+        pos = W > 0.0
+        nu = jnp.sqrt(jnp.where(pos, W, 1.0))
+        nu_safe = jnp.maximum(nu, 1e-20)
+        e = jnp.exp(-_SQRT5 * nu)
+        return jnp.where(pos, -(25.0 * _SQRT5 / 24.0) * e / nu_safe,
+                         jnp.zeros_like(W))
+    if kernel_type == "RatQu":
+        B = 1.0 + W / alpha
+        return -(1.0 + 1.0 / alpha) * (1.0 + 2.0 / alpha) * B ** (-alpha - 3.0)
+    raise ValueError(kernel_type)
+
+
+def _kern_vjp_tile_kernel(theta_ref, alpha_ref, x1_ref, x2_ref, gbar_ref,
+                          out_ref, phi1_s, phi2_s, phi3_s, acc_s, *,
+                          kernel_type: str, dim: int, nb1: int, nb2: int):
+    """One (point-pair, derivative-block) tile of
+    theta_bar[c] = sum_{a,b,i,j} Gbar[a,b][i,j] * dK_ab[i,j]/dtheta_c.
+
+    The W-chain part (coefficient of Rc^2 = (x1c - x2c)^2) is contracted for
+    ALL c at once via the quadratic-form identity
+        sum_ij M[i,j] Rc^2[i,j]
+          = x1c^2 . rowsum(M) + colsum(M) . x2c^2 - 2 * diag(x1^T M x2)[c],
+    whose cross term is an MXU matmul; the explicit-coefficient (delta)
+    parts are rank-1 one-hot adds.  theta_bar accumulates in VMEM scratch
+    across the sequential grid and is written once at the last step.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    a = pl.program_id(2)
+    b = pl.program_id(3)
+    dtype = x1_ref.dtype
+
+    @pl.when((a == 0) & (b == 0))
+    def _compute_phi():
+        x1 = x1_ref[:, :]
+        x2 = x2_ref[:, :]
+        W = jnp.zeros((x1.shape[0], x2.shape[0]), dtype)
+        for k in range(dim):
+            rk = x1[:, k:k + 1] - x2[:, k:k + 1].T
+            W = W + theta_ref[0, k] * rk * rk
+        _, phi1, phi2 = _phi_tile(kernel_type, W, alpha_ref[0, 0])
+        phi1_s[:, :] = phi1
+        phi2_s[:, :] = phi2
+        phi3_s[:, :] = _phi3_tile(kernel_type, W, alpha_ref[0, 0], dtype)
+
+    @pl.when((i == 0) & (j == 0) & (a == 0) & (b == 0))
+    def _init_acc():
+        acc_s[:, :] = jnp.zeros_like(acc_s)
+
+    phi1 = phi1_s[:, :]
+    phi2 = phi2_s[:, :]
+    phi3 = phi3_s[:, :]
+    g = gbar_ref[:, :]
+
+    a0 = (a == 0)
+    b0 = (b == 0)
+    ai = jnp.maximum(a - 1, 0)
+    bi = jnp.maximum(b - 1, 0)
+    th_a = theta_ref[0, ai]
+    th_b = theta_ref[0, bi]
+    x1 = x1_ref[:, :]
+    x2 = x2_ref[:, :]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, x1.shape[1]), 1)
+    oh_a = (ids == ai).astype(dtype)
+    oh_b = (ids == bi).astype(dtype)
+    x1a = jnp.sum(x1 * oh_a, axis=1, keepdims=True)
+    x2a = jnp.sum(x2 * oh_a, axis=1, keepdims=True)
+    x1b = jnp.sum(x1 * oh_b, axis=1, keepdims=True)
+    x2b = jnp.sum(x2 * oh_b, axis=1, keepdims=True)
+    Ra = x1a - x2a.T
+    Rb = x1b - x2b.T
+    delta_ab = (a == b).astype(dtype)
+
+    # W-chain coefficient M_W (multiplies Rc^2) for this derivative block
+    mw = jnp.where(
+        a0 & b0, phi1,
+        jnp.where(a0, -2.0 * th_b * Rb * phi2,
+                  jnp.where(b0, 2.0 * th_a * Ra * phi2,
+                            -2.0 * th_a * delta_ab * phi2
+                            - 4.0 * th_a * th_b * Ra * Rb * phi3)))
+    M = g * mw
+    rs = jnp.sum(M, axis=1, keepdims=True)                      # (B, 1)
+    cs = jnp.sum(M, axis=0, keepdims=True)                      # (1, B)
+    q1 = jnp.sum((x1 * x1) * rs, axis=0, keepdims=True)         # (1, dpad)
+    q2 = jnp.sum((x2 * x2) * cs.T, axis=0, keepdims=True)
+    Mx2 = jnp.dot(M, x2, preferred_element_type=dtype)          # (B, dpad)
+    cross = jnp.sum(x1 * Mx2, axis=0, keepdims=True)
+    contrib = q1 + q2 - 2.0 * cross
+
+    # explicit-coefficient parts (the d/dtheta of the th_a/th_b factors)
+    s_b = jnp.sum(g * (-2.0 * Rb * phi1))          # -> theta_bar[b-1] (a0)
+    s_a = jnp.sum(g * (2.0 * Ra * phi1))           # -> theta_bar[a-1] (b0)
+    s_diag = jnp.sum(g * (-2.0 * phi1))            # -> theta_bar[a-1] (a==b)
+    rrphi2 = g * (Ra * Rb * phi2)
+    s_ga = jnp.sum(rrphi2) * (-4.0 * th_b)         # -> theta_bar[a-1]
+    s_gb = jnp.sum(rrphi2) * (-4.0 * th_a)         # -> theta_bar[b-1]
+
+    zero = jnp.zeros((), dtype)
+    add_a = jnp.where(a0, zero,
+                      jnp.where(b0, s_a, s_ga + delta_ab * s_diag))
+    add_b = jnp.where(b0, zero, jnp.where(a0, s_b, s_gb))
+    contrib = contrib + add_a * oh_a + add_b * oh_b
+
+    acc_s[:, :] = acc_s[:, :] + contrib
+
+    @pl.when((i == nb1 - 1) & (j == nb2 - 1)
+             & (a == dim) & (b == dim))
+    def _write_out():
+        out_ref[:, :] = acc_s[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_type", "dim", "block"))
+def _kern_vjp_theta_padded(kernel_type, dim, block, x1p, x2p, theta, alpha,
+                           gbar):
+    n1, dpad = x1p.shape
+    n2 = x2p.shape[0]
+    nb1 = n1 // block
+    nb2 = n2 // block
+    A = dim + 1
+    dtype = x1p.dtype
+
+    grid = (nb1, nb2, A, A)
+    kernel = functools.partial(_kern_vjp_tile_kernel, kernel_type=kernel_type,
+                               dim=dim, nb1=nb1, nb2=nb2)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dpad), lambda i, j, a, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, a, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, dpad), lambda i, j, a, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, dpad), lambda i, j, a, b: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, block),
+                         lambda i, j, a, b: (a * nb1 + i, b * nb2 + j),
+                         memory_space=pltpu.VMEM),                # Gbar tile
+        ],
+        out_specs=pl.BlockSpec((1, dpad), lambda i, j, a, b: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, dpad), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block, block), dtype),
+            pltpu.VMEM((block, block), dtype),
+            pltpu.VMEM((block, block), dtype),
+            pltpu.VMEM((1, dpad), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
+                                 "arbitrary"),
+        ),
+    )(theta.reshape(1, dim), jnp.reshape(alpha, (1, 1)), x1p, x2p, gbar)
+    return out[0, :dim]
+
+
+def kern_grad_pallas_vjp_theta(kernel_type: str, x1: jnp.ndarray,
+                               x2: jnp.ndarray, theta: jnp.ndarray, alpha,
+                               gbar: jnp.ndarray, block: int = 128):
+    """theta-cotangent of ``kern_grad_pallas``: contracts the covariance
+    cotangent ``gbar`` ((1+d)n1, (1+d)n2) against dK/dtheta tile-by-tile --
+    dK is never materialized (the XLA closed-form VJP builds the full
+    (d, N, N) tensor; this kernel reads Gbar once and writes d scalars)."""
+    n1, dim = x1.shape
+    n2 = x2.shape[0]
+    dtype = x1.dtype
+    n1p = _round_up(n1, block)
+    n2p = _round_up(n2, block)
+    x1p = jnp.pad(x1, ((0, n1p - n1), (0, 0)), constant_values=1e6)
+    x2p = jnp.pad(x2, ((0, n2p - n2), (0, 0)), constant_values=-1e6)
+    A = dim + 1
+    gb = gbar.reshape(A, n1, A, n2)
+    gb = jnp.pad(gb, ((0, 0), (0, n1p - n1), (0, 0), (0, n2p - n2)))
+    gb = gb.reshape(A * n1p, A * n2p)
+    a = jnp.asarray(0.0 if alpha is None else alpha, dtype)
+    return _kern_vjp_theta_padded(kernel_type, dim, block, x1p, x2p,
+                                  jnp.asarray(theta, dtype), a, gb)

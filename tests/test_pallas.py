@@ -50,3 +50,27 @@ def test_pallas_custom_vjp_gradient():
         g_p = jax.grad(loss_pallas)(theta)
     g_x = jax.grad(loss_xla)(theta)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4)
+
+
+@pytest.mark.parametrize("ktype,alpha", CASES)
+def test_pallas_vjp_theta_matches_xla(ktype, alpha):
+    """The fused backward contraction equals the XLA closed-form VJP's
+    theta-cotangent for an arbitrary covariance cotangent."""
+    rng = np.random.default_rng(4)
+    n, d = 20, 3
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0.5, 2, d), jnp.float32)
+    gbar = jnp.asarray(rng.standard_normal(((1 + d) * n, (1 + d) * n)),
+                       jnp.float32)
+
+    def ref(th):
+        return kernels.kern_grad(ktype, rtensor.calc_rtensor(x, x), th,
+                                 alpha)
+    _, vjp = jax.vjp(ref, theta)
+    want, = vjp(gbar)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_assembly.kern_grad_pallas_vjp_theta(
+            ktype, x, x, theta, alpha, gbar, block=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)
