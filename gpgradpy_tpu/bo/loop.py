@@ -175,11 +175,19 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
         step = Q @ ((Q.T @ gvec) / w)
         if not np.all(np.isfinite(step)):
             break
-        x_try = np.clip(xk - step, -2.0, 2.0)
-        mu_try = float(gp.eval_model(x_try[None, :])[0][0])
-        if not np.isfinite(mu_try) or mu_try >= mu_cur:
+        # damped Newton: back off the step until the predicted mean
+        # decreases (an indefinite local Hessian makes the full |H|-step
+        # overshoot; rejecting outright wastes the exploitation iteration)
+        accepted = False
+        for t in (1.0, 0.5, 0.25, 0.125):
+            x_try = np.clip(xk - t * step, -2.0, 2.0)
+            mu_try = float(gp.eval_model(x_try[None, :])[0][0])
+            if np.isfinite(mu_try) and mu_try < mu_cur:
+                xk, mu_cur = x_try, mu_try
+                accepted = True
+                break
+        if not accepted:
             break
-        xk, mu_cur = x_try, mu_try
 
     x_new = x_inc + xk * scale
     return np.clip(x_new, lb, ub)
