@@ -622,18 +622,32 @@ class GaussianProcess:
 
     def eval_model_var(self, x2model_in, calc_grad=False, calc_hess=False,
                        squeeze_nx=False):
+        """Variance (not std) and derivatives.  Unlike the reference
+        (GpEvalModel.py:256 raises for rescaled data), the rescaling frames
+        are supported: var_init = var_scl / obj_scale^2 with 1/xvec_scale
+        chain factors per x-derivative."""
         self._check_eval_ready()
-        assert self.DataScl is None, \
-            "eval_model_var() is not setup for rescaled data"
         xq = np.atleast_2d(np.asarray(x2model_in, float))
         if squeeze_nx:
             assert xq.shape[0] == 1
+        if self.DataScl is not None:
+            xq = self.DataScl.x_init_2_scl(xq)
         fn = _jit_eval_var(self.cfg_predict, self.spec, bool(calc_grad),
                            bool(calc_hess))
         sig2, dsig2, d2sig2 = fn(self.data, self._eval_state,
                                  jnp.asarray(xq, self.dtype))
         out = [np.asarray(v) if v is not None else None
                for v in (sig2, dsig2, d2sig2)]
+        if self.DataScl is not None:
+            s = self.DataScl
+            o2 = s.obj_scale ** 2
+            if out[0] is not None:
+                out[0] = out[0] / o2
+            if out[1] is not None:
+                out[1] = out[1] * (s.xvec_scale[None, :] / o2)
+            if out[2] is not None:
+                out[2] = out[2] * (np.outer(s.xvec_scale, s.xvec_scale)[None]
+                                   / o2)
         if squeeze_nx:
             out = [None if v is None else v[0] for v in out]
         return tuple(out)

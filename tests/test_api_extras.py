@@ -60,3 +60,36 @@ def test_make_predict_fn_serving_path():
     mu_ref, sig_ref, dmu_ref, *_ = gp.eval_model(xq, calc_grad=True)
     np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(dmu), dmu_ref, rtol=1e-12)
+
+
+def test_eval_model_var_rescaled_frames():
+    """eval_model_var under data rescaling (the reference raises here,
+    GpEvalModel.py:256): var must equal sig^2 from eval_model in the init
+    frame, and its gradient/Hessian must match central FD of the var."""
+    import numpy as np
+    from gpgradpy_tpu import GaussianProcess
+
+    rng = np.random.default_rng(5)
+    n, d = 14, 2
+    x = rng.uniform(-2, 2, (n, d))
+    f = np.sum(x ** 2, 1) + 3.0
+    g = 2 * x
+    gp = GaussianProcess(d, True, "SqExp", wellcond_mtd="rescale_origin")
+    gp.init_optz_surr(2)
+    gp.set_data(x, f, np.zeros(n), g, np.zeros((n, d)))
+    gp.set_hpara("optz", 0)
+
+    xq = rng.uniform(-1.5, 1.5, (5, d))
+    _, sig, _, _, _, _ = gp.eval_model(xq)
+    var, dvar, d2var = gp.eval_model_var(xq, calc_grad=True, calc_hess=True)
+    np.testing.assert_allclose(var, sig ** 2, rtol=1e-8, atol=1e-12)
+
+    eps = 1e-5
+    for k in range(d):
+        xp = xq.copy(); xp[:, k] += eps
+        xm = xq.copy(); xm[:, k] -= eps
+        fd = (gp.eval_model_var(xp)[0] - gp.eval_model_var(xm)[0]) / (2 * eps)
+        np.testing.assert_allclose(dvar[:, k], fd, rtol=1e-3, atol=1e-8)
+        fdg = (gp.eval_model_var(xp, calc_grad=True)[1]
+               - gp.eval_model_var(xm, calc_grad=True)[1]) / (2 * eps)
+        np.testing.assert_allclose(d2var[:, :, k], fdg, rtol=1e-3, atol=1e-6)
