@@ -111,3 +111,56 @@ def test_iterative_mll_vs_dense():
         cfg, spec, data, hp, eta, jax.random.PRNGKey(0), n_probes=64,
         max_cg_iters=600, row_block=32)
     np.testing.assert_allclose(np.asarray(gtheta), gd_theta, rtol=0.25)
+
+
+def test_iterative_noisy_mll_vs_dense():
+    """Noisy-regime iterative MLL (varK and noise variances as numeric
+    hyperparameters) against the dense noisy path; gradient over the full
+    Hypers pytree via the exact quadratic surrogate + Hutchinson trace."""
+    import jax
+    from gpgradpy_tpu import GpConfig, GpData, Hypers, HpInfo, make_data_spec
+    from gpgradpy_tpu.model import conditioning, likelihood, likelihood_iter
+    from gpgradpy_tpu.types import hypers_to_hp_vec
+
+    rng = np.random.default_rng(0)
+    n, dim = 40, 3
+    xx = rng.uniform(-2, 2, (n, dim))
+    f = np.sum(xx ** 2, 1) + 0.01 * rng.standard_normal(n)
+    g = 2 * xx + 0.01 * rng.standard_normal((n, dim))
+    cfg = GpConfig(dim=dim, use_grad=True, kernel_type="SqExp",
+                   wellcond_mtd="precon", cond_max_target=1e4)
+    # unknown noise -> var_fval/var_fgrad are numeric hyperparameters
+    spec = make_data_spec(dim, True, n, std_fval=None, std_grad=None)
+    assert spec.b_has_noisy_data
+    data = GpData(x=jnp.asarray(xx), fval=jnp.asarray(f),
+                  std_fval=None, grad=jnp.asarray(g), std_grad=None)
+    eta = conditioning.calc_etaK(cfg, n)
+    hp = Hypers(theta=jnp.asarray([0.7, 1.1, 0.4]),
+                varK=jnp.asarray(2.5), var_fval=jnp.asarray(1e-3),
+                var_fgrad=jnp.asarray(2e-3))
+
+    dense = likelihood.calc_lkd(cfg, spec, data, hp, eta)
+    it = likelihood_iter.calc_lkd_iterative_noisy(
+        cfg, spec, data, hp, eta, jax.random.PRNGKey(0), n_probes=64,
+        max_cg_iters=400, row_block=32)
+    assert float(it.cg_resid) < 1e-8
+    np.testing.assert_allclose(np.asarray(it.beta), np.asarray(dense.beta),
+                               rtol=1e-5)
+    assert abs(float(it.ln_lkd) - float(dense.ln_lkd)) < 0.05 * spec.n_data
+
+    # gradient: dense autodiff oracle (in VALUE space) vs the surrogate
+    def dense_nll(theta, varK, var_fval, var_fgrad):
+        hp_ = Hypers(theta=theta, varK=varK, var_fval=var_fval,
+                     var_fgrad=var_fgrad)
+        return -likelihood.calc_lkd(cfg, spec, data, hp_, eta).ln_lkd
+
+    gd = jax.grad(dense_nll, argnums=(0, 1, 2, 3))(
+        hp.theta, hp.varK, hp.var_fval, hp.var_fgrad)
+    _, grad_hp, _ = likelihood_iter.neg_mll_iterative_noisy_and_grad(
+        cfg, spec, data, hp, eta, jax.random.PRNGKey(0), n_probes=64,
+        max_cg_iters=400, row_block=32)
+    got = (grad_hp.theta, grad_hp.varK, grad_hp.var_fval, grad_hp.var_fgrad)
+    for got_i, want_i, name in zip(got, gd,
+                                   ("theta", "varK", "var_fval", "var_fgrad")):
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                                   rtol=0.3, atol=1e-3), name

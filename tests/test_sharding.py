@@ -179,3 +179,39 @@ def test_pm_layout_roundtrip():
         sm.pm_to_blocked_mat(sm.blocked_to_pm_mat(M, n, dim), n, dim), M)
     np.testing.assert_array_equal(
         sm.pm_to_blocked_mat(sm.blocked_to_pm_mat(v, n, dim), n, dim), v)
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_distributed_noisy_iterative_mll():
+    """Noisy-regime distributed MLL: sharded matvec path agrees with the
+    dense noisy MLL on beta and (coarsely) the value."""
+    from gpgradpy_tpu.model import likelihood, likelihood_iter
+    from gpgradpy_tpu.parallel import sharded_matvec as sm
+    from gpgradpy_tpu.types import Hypers
+
+    rng = np.random.default_rng(1)
+    n, dim = 24, 2
+    xx = rng.uniform(-2, 2, (n, dim))
+    f = np.sum(xx ** 2, 1) + 0.01 * rng.standard_normal(n)
+    g = 2 * xx + 0.01 * rng.standard_normal((n, dim))
+    cfg = GpConfig(dim=dim, use_grad=True, kernel_type="SqExp",
+                   wellcond_mtd="precon", cond_max_target=1e4)
+    spec = make_data_spec(dim, True, n, std_fval=None, std_grad=None)
+    data = GpData(x=jnp.asarray(xx), fval=jnp.asarray(f), std_fval=None,
+                  grad=jnp.asarray(g), std_grad=None)
+    eta = conditioning.calc_etaK(cfg, n)
+    hp = Hypers(theta=jnp.asarray([0.8, 1.2]), varK=jnp.asarray(2.0),
+                var_fval=jnp.asarray(1e-3), var_fgrad=jnp.asarray(2e-3))
+
+    mesh = sm.make_data_mesh()
+    dense = likelihood.calc_lkd(cfg, spec, data, hp, eta)
+    dist = likelihood_iter.calc_lkd_iterative_noisy(
+        cfg, spec, data, hp, eta, jax.random.PRNGKey(0), n_probes=32,
+        max_cg_iters=300, mesh=mesh)
+    assert float(dist.cg_resid) < 1e-8
+    np.testing.assert_allclose(np.asarray(dist.beta), np.asarray(dense.beta),
+                               rtol=1e-5)
+    assert abs(float(dist.ln_lkd) - float(dense.ln_lkd)) < 0.05 * spec.n_data
