@@ -164,3 +164,39 @@ def test_iterative_noisy_mll_vs_dense():
                                    ("theta", "varK", "var_fval", "var_fgrad")):
         np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
                                    rtol=0.3, atol=1e-3), name
+
+
+def test_predict_iterative_vs_dense():
+    """Matrix-free posterior mu/sig (CG path) equals the dense predict."""
+    import jax
+    from gpgradpy_tpu import GpConfig, GpData, Hypers, make_data_spec
+    from gpgradpy_tpu.model import conditioning, predict, predict_iter
+    from gpgradpy_tpu.model.likelihood import closed_form_hp
+
+    rng = np.random.default_rng(0)
+    n, dim = 40, 3
+    xx = rng.uniform(-2, 2, (n, dim))
+    f = np.sum(xx ** 2, 1)
+    g = 2 * xx
+    cfg = GpConfig(dim=dim, use_grad=True, kernel_type="SqExp",
+                   wellcond_mtd="precon", cond_max_target=1e4)
+    spec = make_data_spec(dim, True, n, std_fval=np.zeros(n),
+                          std_grad=np.zeros((n, dim)))
+    data = GpData(x=jnp.asarray(xx), fval=jnp.asarray(f),
+                  std_fval=jnp.zeros(n), grad=jnp.asarray(g),
+                  std_grad=jnp.zeros((n, dim)))
+    eta = conditioning.calc_etaK(cfg, n)
+    hp = Hypers(theta=jnp.asarray([0.7, 1.1, 0.4]))
+    xq = jnp.asarray(rng.uniform(-2, 2, (9, dim)))
+
+    hp_full = closed_form_hp(cfg, spec, data, hp, eta)
+    state = predict.setup_eval(cfg, spec, data, hp_full, eta)
+    mu_d, sig_d, *_ = predict.eval_model(cfg, spec, data, state, xq)
+
+    mu_i, sig_i, beta_i, varK_i, res = predict_iter.predict_iterative(
+        cfg, spec, data, hp, eta, xq, max_cg_iters=400)
+    assert float(jnp.max(res.residnorm)) < 1e-8
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_d), rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sig_i), np.asarray(sig_d),
+                               rtol=1e-4, atol=1e-8)

@@ -215,3 +215,42 @@ def test_distributed_noisy_iterative_mll():
     np.testing.assert_allclose(np.asarray(dist.beta), np.asarray(dense.beta),
                                rtol=1e-5)
     assert abs(float(dist.ln_lkd) - float(dense.ln_lkd)) < 0.05 * spec.n_data
+
+
+def test_distributed_predict_matches_dense():
+    """Sharded-training-axis predict (cross-cov per shard + distributed CG)
+    equals the dense predict."""
+    from gpgradpy_tpu.model import conditioning as cond_m
+    from gpgradpy_tpu.model import predict, predict_iter
+    from gpgradpy_tpu.model.likelihood import closed_form_hp
+    from gpgradpy_tpu.parallel import sharded_matvec as sm
+    from gpgradpy_tpu.types import Hypers
+
+    rng = np.random.default_rng(2)
+    n, dim = 24, 2
+    xx = rng.uniform(-2, 2, (n, dim))
+    f = np.sum(xx ** 2, 1)
+    g = 2 * xx
+    cfg = GpConfig(dim=dim, use_grad=True, kernel_type="SqExp",
+                   wellcond_mtd="precon", cond_max_target=1e4)
+    spec = make_data_spec(dim, True, n, std_fval=np.zeros(n),
+                          std_grad=np.zeros((n, dim)))
+    data = GpData(x=jnp.asarray(xx), fval=jnp.asarray(f),
+                  std_fval=jnp.zeros(n), grad=jnp.asarray(g),
+                  std_grad=jnp.zeros((n, dim)))
+    eta = cond_m.calc_etaK(cfg, n)
+    hp = Hypers(theta=jnp.asarray([0.8, 1.2]))
+    xq = jnp.asarray(rng.uniform(-2, 2, (5, dim)))
+
+    hp_full = closed_form_hp(cfg, spec, data, hp, eta)
+    state = predict.setup_eval(cfg, spec, data, hp_full, eta)
+    mu_d, sig_d, *_ = predict.eval_model(cfg, spec, data, state, xq)
+
+    mesh = sm.make_data_mesh()
+    mu_s, sig_s, *_ , res = predict_iter.predict_iterative(
+        cfg, spec, data, hp, eta, xq, max_cg_iters=300, mesh=mesh)
+    assert float(jnp.max(res.residnorm)) < 1e-8
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sig_s), np.asarray(sig_d),
+                               rtol=1e-4, atol=1e-8)
