@@ -189,6 +189,17 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
         if not accepted:
             break
 
+    if np.linalg.norm(xk) < 1e-12:
+        # Newton produced nothing: seed the cluster with a damped gradient
+        # step from the incumbent instead.  The cascade needs points NEAR the
+        # incumbent along the descent direction -- an exploratory fallback
+        # (far EI point) would leave the 12-nearest cluster non-local and the
+        # local quadratic poor forever.
+        g_inc = g_data[i_inc] * scale           # local-frame gradient
+        gn = np.linalg.norm(g_inc)
+        if gn > 0 and np.all(np.isfinite(g_inc)):
+            xk = -0.3 * g_inc / gn
+
     x_new = x_inc + xk * scale
     return np.clip(x_new, lb, ub)
 
