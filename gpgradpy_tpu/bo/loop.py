@@ -142,8 +142,31 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
     idx = np.argsort(d2)[:n_local]
     xs, fs, gs = x_data[idx], f_data[idx], g_data[idx]
 
+    # bootstrap: if the n_local nearest points span a large fraction of the
+    # domain, there IS no local cluster yet -- a "local" GP on them is a
+    # coarse global fit whose Newton step lands far away (observed live:
+    # radius 1.7 on [-2,2]^5 proposing f=5e2 points forever).  Seed the
+    # cluster with gradient-biased ball samples around the incumbent
+    # (surrogate fuel: they need not improve f; once n_local points are
+    # genuinely local the quadratic cascade takes over and plunges).
+    dim = x_data.shape[1]
+    r_loc = np.sqrt(d2[idx].max())
+    r_max = 0.05 * np.linalg.norm(ub - lb)
+    if r_loc > r_max:
+        rng = np.random.default_rng(
+            [x_data.shape[0], int(1e6 * (np.sum(np.abs(x_inc)) % 1.0))])
+        u = rng.standard_normal(dim)
+        u = u / max(np.linalg.norm(u), 1e-300)
+        g_inc = g_data[i_inc]
+        gn = np.linalg.norm(g_inc)
+        if gn > 0 and np.all(np.isfinite(g_inc)):
+            u = u - g_inc / gn            # bias the sample toward descent
+            u = u / max(np.linalg.norm(u), 1e-300)
+        r = r_max * rng.uniform(0.15, 0.5)
+        return np.clip(x_inc + r * u, lb, ub)
+
     # incumbent frame: center on the incumbent, scale to unit spread
-    scale = max(np.sqrt(d2[idx].max()), 1e-300)
+    scale = max(r_loc, 1e-300)
     xs_loc = (xs - x_inc) / scale
     gs_loc = gs * scale                      # chain rule for the gradients
 
@@ -159,7 +182,8 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
     # saddle/garbage local fit can fling the proposal to the trust-region
     # boundary and stall the outer loop on one repeated far point)
     xk = np.zeros(dim)
-    mu_cur = float(gp.eval_model(xk[None, :])[0][0])
+    mu0, sig0 = gp.eval_model(xk[None, :])[:2]
+    mu_cur = float(mu0[0])
     for _ in range(newton_steps):
         _, _, dmu, _, d2mu, _ = gp.eval_model(xk[None, :], calc_grad=True,
                                               calc_hess=True)
@@ -181,8 +205,15 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
         accepted = False
         for t in (1.0, 0.5, 0.25, 0.125):
             x_try = np.clip(xk - t * step, -2.0, 2.0)
-            mu_try = float(gp.eval_model(x_try[None, :])[0][0])
-            if np.isfinite(mu_try) and mu_try < mu_cur:
+            mu_t, sig_t = gp.eval_model(x_try[None, :])[:2]
+            mu_try, sig_try = float(mu_t[0]), float(sig_t[0])
+            # uncertainty-gated trust region: accept only where the local GP
+            # is CONFIDENT of improvement (mu + sig below the current mean).
+            # Outside the cluster's support sigma blows up, so wild
+            # extrapolated "improvements" are rejected automatically, while
+            # the long confident along-valley Newton jumps that drive the
+            # 1e-26-style cascade still pass.
+            if np.isfinite(mu_try) and mu_try + sig_try < mu_cur:
                 xk, mu_cur = x_try, mu_try
                 accepted = True
                 break
