@@ -123,67 +123,79 @@ def propose_next(gp: GaussianProcess, lb, ub, fval_best,
     return np.clip(x_new_s, lb, ub)
 
 
+_TR_FLOOR_REL = 4e-16       # trust-region radius floor, relative to diameter
+
+
 def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
                            kernel_type: str, n_local: int, dtype: str,
-                           newton_steps: int = 6):
-    """Trust-region exploitation: fit a FRESH local GP on the n_local points
-    nearest the incumbent, in a centered/unit-scaled frame, and Newton-polish
-    its posterior mean.
+                           state: dict, newton_steps: int = 8,
+                           debug: dict = None):
+    """Surrogate trust-region exploitation.
 
-    The global surrogate's minimizer carries an absolute bias set by the
-    far-away data (values orders of magnitude larger than the local cluster),
-    which floors the convergence cascade around 1e-8 on Rosenbrock d=5.  A
-    local GP in the incumbent frame is relatively accurate at the cluster
-    scale, so the proposal tracks the true optimum down to machine precision
-    (the mechanism behind the paper traces' 1e-26 merits)."""
+    Fits a FRESH local gradient-enhanced GP on the n_local points nearest
+    the incumbent, in an incumbent-centered frame scaled to the cluster
+    radius, and minimizes its posterior mean with damped Newton.  (The
+    global surrogate's minimizer carries an absolute bias set by far-away
+    data whose values are orders of magnitude above the local cluster,
+    flooring the cascade around 1e-8 on Rosenbrock d=5; the local frame is
+    what lets proposals track the true optimum to machine precision -- the
+    mechanism behind the paper traces' 1e-26 merits.)
+
+    Robustness comes from classic trust-region management with a PERSISTENT
+    radius ``state['delta']``: the total Newton displacement is clipped to
+    delta, and after the truth evaluation ``run_bo`` expands delta on
+    improvement and shrinks it below the attempted step on failure.  A
+    non-improving proposal therefore cannot repeat (the radius contracts
+    until the exact incumbent gradient guarantees descent), which removes
+    the repeated-far-point stall mode of round 1.
+
+    Acceptance inside the Newton loop is on predicted-mean DECREASE only;
+    do NOT gate on sigma: the GP's absolute uncertainty floor (~sqrt(eta) x
+    cluster value scale) exceeds the incumbent's mean right after a
+    successful Newton jump, so a mu+sig gate permanently blocks the
+    quadratic cascade and degrades it to a damped-gradient crawl (observed:
+    ~28 wasted evals per decade of merit).
+    """
+    dim = x_data.shape[1]
     i_inc = int(np.argmin(f_data))
     x_inc = x_data[i_inc]
+    g_inc = g_data[i_inc]
     d2 = np.sum((x_data - x_inc) ** 2, axis=1)
     idx = np.argsort(d2)[:n_local]
     xs, fs, gs = x_data[idx], f_data[idx], g_data[idx]
+    r_loc = max(float(np.sqrt(d2[idx].max())), 1e-300)
 
-    # bootstrap: if the n_local nearest points span a large fraction of the
-    # domain, there IS no local cluster yet -- a "local" GP on them is a
-    # coarse global fit whose Newton step lands far away (observed live:
-    # radius 1.7 on [-2,2]^5 proposing f=5e2 points forever).  Seed the
-    # cluster with gradient-biased ball samples around the incumbent
-    # (surrogate fuel: they need not improve f; once n_local points are
-    # genuinely local the quadratic cascade takes over and plunges).
-    dim = x_data.shape[1]
-    r_loc = np.sqrt(d2[idx].max())
-    r_max = 0.05 * np.linalg.norm(ub - lb)
-    if r_loc > r_max:
-        rng = np.random.default_rng(
-            [x_data.shape[0], int(1e6 * (np.sum(np.abs(x_inc)) % 1.0))])
-        u = rng.standard_normal(dim)
-        u = u / max(np.linalg.norm(u), 1e-300)
-        g_inc = g_data[i_inc]
-        gn = np.linalg.norm(g_inc)
-        if gn > 0 and np.all(np.isfinite(g_inc)):
-            u = u - g_inc / gn            # bias the sample toward descent
-            u = u / max(np.linalg.norm(u), 1e-300)
-        r = r_max * rng.uniform(0.15, 0.5)
-        return np.clip(x_inc + r * u, lb, ub)
+    diam = float(np.linalg.norm(ub - lb))
+    delta = state.get("delta")
+    if state.get("x_inc") is None or \
+            not np.array_equal(state.get("x_inc"), x_inc):
+        delta = None                # incumbent moved: re-anchor the radius
+    if delta is None:
+        delta = min(r_loc, 0.05 * diam)
+    delta = float(np.clip(delta, _TR_FLOOR_REL * diam, 0.25 * diam))
+    state["x_inc"] = x_inc.copy()
+    state["delta"] = delta
 
-    # incumbent frame: center on the incumbent, scale to unit spread
-    scale = max(r_loc, 1e-300)
+    if debug is not None:
+        debug.update(r_loc=r_loc, delta=delta, branch="newton",
+                     n_accept=0, step_norm=0.0)
+
+    # incumbent frame: center on the incumbent, scale to the cluster radius
+    scale = r_loc
     xs_loc = (xs - x_inc) / scale
     gs_loc = gs * scale                      # chain rule for the gradients
 
-    dim = x_data.shape[1]
     gp = GaussianProcess(dim, True, kernel_type, "precon", dtype=dtype)
     gp.set_data(xs_loc, fs, np.zeros(len(idx)), gs_loc,
                 np.zeros((len(idx), dim)))
     gp.init_optz_surr(1)
     gp.set_hpara("optz", 0)
 
-    # Newton on the local posterior mean from the incumbent (frame origin),
-    # accepting a step only if the predicted mean decreases (otherwise a
-    # saddle/garbage local fit can fling the proposal to the trust-region
-    # boundary and stall the outer loop on one repeated far point)
     xk = np.zeros(dim)
-    mu0, sig0 = gp.eval_model(xk[None, :])[:2]
-    mu_cur = float(mu0[0])
+    mu_cur = float(gp.eval_model(xk[None, :])[0][0])
+    lb_loc = (lb - x_inc) / scale
+    ub_loc = (ub - x_inc) / scale
+    delta_loc = delta / scale
     for _ in range(newton_steps):
         _, _, dmu, _, d2mu, _ = gp.eval_model(xk[None, :], calc_grad=True,
                                               calc_hess=True)
@@ -199,38 +211,38 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
         step = Q @ ((Q.T @ gvec) / w)
         if not np.all(np.isfinite(step)):
             break
-        # damped Newton: back off the step until the predicted mean
-        # decreases (an indefinite local Hessian makes the full |H|-step
+        # damped Newton with the TOTAL displacement clipped to the trust
+        # region (an indefinite local Hessian makes the full |H|-step
         # overshoot; rejecting outright wastes the exploitation iteration)
         accepted = False
         for t in (1.0, 0.5, 0.25, 0.125):
-            x_try = np.clip(xk - t * step, -2.0, 2.0)
-            mu_t, sig_t = gp.eval_model(x_try[None, :])[:2]
-            mu_try, sig_try = float(mu_t[0]), float(sig_t[0])
-            # uncertainty-gated trust region: accept only where the local GP
-            # is CONFIDENT of improvement (mu + sig below the current mean).
-            # Outside the cluster's support sigma blows up, so wild
-            # extrapolated "improvements" are rejected automatically, while
-            # the long confident along-valley Newton jumps that drive the
-            # 1e-26-style cascade still pass.
-            if np.isfinite(mu_try) and mu_try + sig_try < mu_cur:
+            x_try = np.clip(xk - t * step, lb_loc, ub_loc)
+            tot = np.linalg.norm(x_try)
+            if tot > delta_loc:
+                x_try = x_try * (delta_loc / tot)
+            mu_try = float(gp.eval_model(x_try[None, :])[0][0])
+            if np.isfinite(mu_try) and mu_try < mu_cur:
                 xk, mu_cur = x_try, mu_try
                 accepted = True
+                if debug is not None:
+                    debug["n_accept"] += 1
                 break
         if not accepted:
             break
 
-    if np.linalg.norm(xk) < 1e-12:
-        # Newton produced nothing: seed the cluster with a damped gradient
-        # step from the incumbent instead.  The cascade needs points NEAR the
-        # incumbent along the descent direction -- an exploratory fallback
-        # (far EI point) would leave the 12-nearest cluster non-local and the
-        # local quadratic poor forever.
-        g_inc = g_data[i_inc] * scale           # local-frame gradient
+    if np.linalg.norm(xk) * scale < _TR_FLOOR_REL * diam:
+        # Newton produced nothing: take a damped gradient step from the
+        # incumbent instead.  The exact incumbent gradient guarantees this
+        # descends once the trust region is small enough, so the exploit
+        # phase makes monotone progress at worst at a linear rate.
+        if debug is not None:
+            debug["branch"] = "grad_step"
         gn = np.linalg.norm(g_inc)
         if gn > 0 and np.all(np.isfinite(g_inc)):
-            xk = -0.3 * g_inc / gn
+            xk = -(0.5 * delta / scale) * g_inc / gn
 
+    if debug is not None:
+        debug["step_norm"] = float(np.linalg.norm(xk) * scale)
     x_new = x_inc + xk * scale
     return np.clip(x_new, lb, ub)
 
@@ -283,6 +295,9 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
              else np.zeros((n_init, dim)))
 
     prev_bucket = None
+    exploit_state = {}
+    diam = float(np.linalg.norm(ub - lb))
+    rng_tr = np.random.default_rng(seed + 424243)
     for i in range(n_iter):
         t0 = time.time()
         gp.set_data(x_data, f_data, std_f,
@@ -300,23 +315,66 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
         fbest = float(np.min(f_data))
         # final exploitation phase: switch to minimizing the posterior mean
         in_exploit = exploit_frac > 0 and i >= (1.0 - exploit_frac) * n_iter
-        if in_exploit and exploit_local and use_grad and noise_std == 0:
+        dbg = {} if verbose else None
+        exploit_fired = (in_exploit and exploit_local and use_grad
+                         and noise_std == 0)
+        if exploit_fired:
+            # smallest cluster with enough data for a quadratic-accurate
+            # local model -- m(1+d) >= (d+1)(d+2)/2 plus slack.  A tight
+            # cluster lets the trust-region radius track the incumbent
+            # scale within a few evals (a 2(d+1) cluster needs ~12 new
+            # points per contraction generation and crawls).
+            n_loc = max(4, (dim + 3) // 2 + 2)
             x_new = _propose_local_exploit(
                 x_data, f_data, g_data, lb, ub, kernel_type,
-                n_local=min(x_data.shape[0], 2 * (dim + 1)),
-                dtype=(gp_options or {}).get("dtype", "float64"))
+                n_local=min(x_data.shape[0], n_loc),
+                dtype=(gp_options or {}).get("dtype", "float64"),
+                state=exploit_state, debug=dbg)
         else:
             acq_i = "mu" if in_exploit else acq
             x_new = propose_next(gp, lb, ub, fbest, acq=acq_i, beta=beta,
                                  seed=seed + i)
         # duplicate guard: a proposal (numerically) identical to an existing
-        # datum adds no information and can lock the loop onto one point --
-        # fall back to the exploratory acquisition instead
+        # datum adds no information and can lock the loop onto one point.
+        # The threshold sits just above f64 coordinate resolution -- the
+        # terminal cascade legitimately places points ~|x - x*| apart, so a
+        # loose threshold (e.g. 1e-9 x diameter) would floor the reachable
+        # merit at ~1e-15.  A duplicate from the EXPLOIT phase with the
+        # trust region at its floor means the run is converged to machine
+        # precision: stop early and leave the NaN tail (the reference's
+        # bundled traces end the same way).  A duplicate with the radius
+        # still large is a surrogate artifact: shrink the radius and spend
+        # the eval on a ball sample inside the trust region instead.
         dmin = float(np.min(np.linalg.norm(x_data - x_new[None, :], axis=1)))
-        if dmin < 1e-9 * float(np.linalg.norm(ub - lb)):
-            x_new = propose_next(gp, lb, ub, fbest, acq=acq, beta=beta,
-                                 seed=seed + 7919 * (i + 1))
+        if dmin < _TR_FLOOR_REL * diam:
+            if exploit_fired:
+                delta = exploit_state.get("delta", diam)
+                if delta <= 4.0 * _TR_FLOOR_REL * diam:
+                    if verbose:
+                        print(f"BO iter {i}: exploit cascade at machine-"
+                              f"precision floor (dmin={dmin:.1e}); stopping",
+                              flush=True)
+                    break
+                exploit_state["delta"] = delta / 4.0
+                u = rng_tr.standard_normal(dim)
+                u = u / max(np.linalg.norm(u), 1e-300)
+                x_new = np.clip(exploit_state["x_inc"] + 0.5 * delta * u,
+                                lb, ub)
+            else:
+                x_new = propose_next(gp, lb, ub, fbest, acq=acq, beta=beta,
+                                     seed=seed + 7919 * (i + 1))
         f_new, g_new = obj_fun(x_new[None, :])
+        if exploit_fired:
+            # classic trust-region update on the TRUTH: expand on
+            # improvement over the incumbent, shrink below the attempted
+            # step on failure (breaks any repeated-proposal lock)
+            step_len = float(np.linalg.norm(x_new - exploit_state["x_inc"]))
+            if f_new[0] < fbest:
+                exploit_state["delta"] = min(
+                    max(exploit_state["delta"], 4.0 * step_len), 0.25 * diam)
+            else:
+                exploit_state["delta"] = max(step_len / 4.0,
+                                             _TR_FLOOR_REL * diam)
         if noise_std > 0:
             f_new = f_new + noise_std * rng.standard_normal(1)
             g_new = g_new + noise_std * rng.standard_normal((1, dim))
@@ -327,8 +385,13 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
         opt[k] = np.linalg.norm(g_new[0])
         t_iter[k] = time.time() - t0
         if verbose:
+            extra = ""
+            if dbg:
+                extra = (f", exploit[{dbg['branch']}] r_loc={dbg['r_loc']:.2e}"
+                         f" acc={dbg['n_accept']} step={dbg['step_norm']:.2e}")
             print(f"BO iter {i}: f = {f_new[0]:.4e}, "
-                  f"|grad| = {opt[k]:.3e}, best = {min(fbest, f_new[0]):.4e}")
+                  f"|grad| = {opt[k]:.3e}, best = {min(fbest, f_new[0]):.4e}"
+                  + extra, flush=True)
 
         x_data = np.vstack([x_data, x_new[None, :]])
         f_data = np.concatenate([f_data, f_new])
