@@ -248,7 +248,8 @@ def main():
     quality_ok = rmse_ours < (0.05 if args.fast else 0.01) * f_scale
     if not quality_ok:
         print(f"[bench] QUALITY GATE FAILED: rmse_ours={rmse_ours:.4g} "
-              f"(limit {0.05 * f_scale:.4g}, rmse_ref={rmse_ref:.4g})",
+              f"(limit {(0.05 if args.fast else 0.01) * f_scale:.4g}, "
+              f"rmse_ref={rmse_ref:.4g})",
               file=sys.stderr)
 
     vs = (t_ref / t_ours) if (np.isfinite(t_ref) and quality_ok) else 0.0

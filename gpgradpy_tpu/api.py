@@ -145,16 +145,41 @@ class GaussianProcess:
         return jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
 
     @property
+    def _predict_dtype(self):
+        """Dtype of the predict path: query points must be cast with THIS
+        (casting to the f32 FIT dtype in polish mode would truncate query
+        coordinates to ~1e-7 relative precision before the f64 predict
+        program re-promotes them)."""
+        return (jnp.float64 if self.cfg_predict.dtype == "float64"
+                else jnp.float32)
+
+    @property
     def cfg_predict(self) -> GpConfig:
         """Config the predict path (and closed-form beta/varK) runs under.
         With polish enabled the model is evaluated in f64 at the tighter
         polish condition target even though the main fit ran in f32."""
         cfg = self.cfg
         if cfg.polish_cond_target:
+            self._require_x64("polish_cond_target")
             return dataclasses.replace(
                 cfg, dtype="float64", cond_max_target=cfg.polish_cond_target,
                 use_pallas=False)
+        if cfg.n_refine_predict:
+            self._require_x64("n_refine_predict")
         return cfg
+
+    @staticmethod
+    def _require_x64(option: str):
+        """The f64 polish/refine paths silently degrade to f32 without x64
+        (cast_float_tree(..., float64) becomes a no-op), which at a tight
+        cond target is WORSE than the plain f32 path -- fail loudly."""
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                f"{option} requires jax_enable_x64: without it the 'f64' "
+                f"re-fit/predict actually runs f32 at the tight condition "
+                f"target, which destabilizes the Cholesky.  Enable it with "
+                f"jax.config.update('jax_enable_x64', True) before creating "
+                f"arrays, or unset {option}.")
 
     def _eta_for_predict(self) -> float:
         cfg = self.cfg
@@ -428,7 +453,8 @@ class GaussianProcess:
                 self.cfg.cond_max, self._eta_Kbase, self._eta_Kgrad,
                 self.cfg.use_grad, self._vmin_init, self._vmin_req_grad,
                 None if self.DataScl is None else self.DataScl.xvec_scale,
-                self._fval_in, -float(fit.neg_lkd), t_optz, np.nan, np.nan)
+                self._fval_in, -float(fit.neg_lkd), t_optz,
+                getattr(self, "_time_chofac_last", np.nan), np.nan)
 
     def _run_fit(self, i_optz, x0_override=None):
         cfg = self.cfg
@@ -534,7 +560,15 @@ class GaussianProcess:
         # feed the surrogate directly, so under polish they are recovered
         # from the f64 cond-target covariance, not the f32 fit one
         fn = _jit_lkd_cast(self.cfg_predict, self.spec, False)
-        lkd = fn(self.data, hp_vals, self._eta_for_predict())
+        t0 = time.time()
+        lkd = jax.block_until_ready(
+            fn(self.data, hp_vals, self._eta_for_predict()))
+        # time of one assembly+factorization dispatch at the final hp -- the
+        # TPU-native observable closest to the reference's cumulative
+        # in-optimizer Cholesky timer (Kernel.py:304-305), which cannot be
+        # probed inside the fused XLA fit program
+        self._time_chofac_last = time.time() - t0
+        self._time_chofac += self._time_chofac_last
         varK = hp_vals.varK if self.spec.b_has_noisy_data else lkd.varK
         return hp_vals._replace(beta=lkd.beta, varK=varK)
 
@@ -592,7 +626,7 @@ class GaussianProcess:
         fn = _jit_eval_model(self.cfg_predict, self.spec, bool(calc_grad),
                              bool(calc_hess))
         mu, sig, dmu, dsig, d2mu, d2sig = fn(self.data, self._eval_state,
-                                             jnp.asarray(xq, self.dtype))
+                                             jnp.asarray(xq, self._predict_dtype))
         if self.DataScl is not None:
             mu, sig, dmu, dsig, d2mu, d2sig = self.DataScl.obj_scl_2_init(
                 mu, sig, dmu, dsig, d2mu, d2sig)
@@ -635,7 +669,7 @@ class GaussianProcess:
         fn = _jit_eval_var(self.cfg_predict, self.spec, bool(calc_grad),
                            bool(calc_hess))
         sig2, dsig2, d2sig2 = fn(self.data, self._eval_state,
-                                 jnp.asarray(xq, self.dtype))
+                                 jnp.asarray(xq, self._predict_dtype))
         out = [np.asarray(v) if v is not None else None
                for v in (sig2, dsig2, d2sig2)]
         if self.DataScl is not None:

@@ -300,24 +300,29 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
     rng_tr = np.random.default_rng(seed + 424243)
     for i in range(n_iter):
         t0 = time.time()
-        gp.set_data(x_data, f_data, std_f,
-                    g_data if use_grad else None,
-                    std_g if use_grad else None)
-        # crossing a shape bucket retires every compiled program of the old
-        # bucket; drop them so long runs don't exhaust memory mappings
-        # (XLA:CPU's LLVM JIT maps each executable's sections separately)
-        bucket = gp.spec.n_eval_tot
-        if prev_bucket is not None and bucket != prev_bucket:
-            jax.clear_caches()
-        prev_bucket = bucket
-        gp.set_hpara("optz", i)
-
         fbest = float(np.min(f_data))
         # final exploitation phase: switch to minimizing the posterior mean
         in_exploit = exploit_frac > 0 and i >= (1.0 - exploit_frac) * n_iter
         dbg = {} if verbose else None
         exploit_fired = (in_exploit and exploit_local and use_grad
                          and noise_std == 0)
+        if not exploit_fired:
+            # the local-exploit proposal never touches the global surrogate,
+            # so its O(n_data^3) refit is skipped during the exploit phase
+            # (the result traces record x/merit/opt only; the hp history
+            # rows for those iterations stay NaN)
+            gp.set_data(x_data, f_data, std_f,
+                        g_data if use_grad else None,
+                        std_g if use_grad else None)
+            # crossing a shape bucket retires every compiled program of the
+            # old bucket; drop them so long runs don't exhaust memory
+            # mappings (XLA:CPU's LLVM JIT maps each executable's sections
+            # separately)
+            bucket = gp.spec.n_eval_tot
+            if prev_bucket is not None and bucket != prev_bucket:
+                jax.clear_caches()
+            prev_bucket = bucket
+            gp.set_hpara("optz", i)
         if exploit_fired:
             # smallest cluster with enough data for a quadratic-accurate
             # local model -- m(1+d) >= (d+1)(d+2)/2 plus slack.  A tight

@@ -22,6 +22,8 @@ class LbfgsResult(NamedTuple):
     g: jnp.ndarray
     n_iter: jnp.ndarray
     converged: jnp.ndarray
+    aux_sum: jnp.ndarray      # sum of the objective's aux flag over accepted
+                              # iterates (0 when the objective returns none)
 
 
 def _project(x, lb, ub):
@@ -30,19 +32,28 @@ def _project(x, lb, ub):
 
 def lbfgs_box(fun: Callable, x0: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray,
               max_iter: int = 250, history: int = 10, tol_g: float = 1e-8,
-              tol_f: float = 1e-12, ls_max: int = 25) -> LbfgsResult:
+              tol_f: float = 1e-12, ls_max: int = 25,
+              has_aux: bool = False) -> LbfgsResult:
     """Minimize fun(x) -> (value, grad) subject to lb <= x <= ub.
 
     Convergence when the projected-gradient infinity norm < tol_g or the
     relative objective decrease < tol_f (the reference's ftol semantics,
     OptzLkd.py:212).
+
+    With ``has_aux`` the objective returns (value, grad, aux) with scalar
+    aux; the aux values of the initial point and every ACCEPTED iterate are
+    summed into ``result.aux_sum`` (used to count Cholesky-failure visits
+    for the optimizer telemetry, OptzLkd.py:240-259 semantics; line-search
+    probe points are not counted).
     """
     n = x0.shape[0]
     m = history
     dtype = x0.dtype
 
+    fun_a = fun if has_aux else (lambda x: fun(x) + (jnp.asarray(0.0),))
+
     x0 = _project(x0, lb, ub)
-    f0, g0 = fun(x0)
+    f0, g0, a0 = fun_a(x0)
 
     class State(NamedTuple):
         k: jnp.ndarray
@@ -55,6 +66,7 @@ def lbfgs_box(fun: Callable, x0: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray,
         hist_len: jnp.ndarray
         gamma: jnp.ndarray    # initial Hessian scale
         done: jnp.ndarray
+        aux_sum: jnp.ndarray
 
     def two_loop(g, S, Y, rho, hist_len, gamma):
         """Standard L-BFGS two-loop recursion over a circular buffer."""
@@ -87,27 +99,29 @@ def lbfgs_box(fun: Callable, x0: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray,
             return (~ok) & (j < ls_max)
 
         def body(carry):
-            t, j, ok, xn, fn, gn = carry
+            t, j, ok, xn, fn, gn, an = carry
             x_try = _project(x - t * d, lb, ub)
-            f_try, g_try = fun(x_try)
+            f_try, g_try, a_try = fun_a(x_try)
             step = x - x_try
             armijo = f_try <= f - 1e-4 * jnp.dot(g, step)
             ok_new = armijo & jnp.isfinite(f_try)
             xn = jnp.where(ok_new, x_try, xn)
             fn = jnp.where(ok_new, f_try, fn)
             gn = jnp.where(ok_new[None] if ok_new.ndim else ok_new, g_try, gn)
-            return (t * 0.5, j + 1, ok_new, xn, fn, gn)
+            an = jnp.where(ok_new, a_try, an)
+            return (t * 0.5, j + 1, ok_new, xn, fn, gn, an)
 
-        init = (jnp.asarray(1.0, dtype), 0, jnp.asarray(False), x, f, g)
-        _, _, ok, xn, fn, gn = jax.lax.while_loop(cond, body, init)
-        return ok, xn, fn, gn
+        init = (jnp.asarray(1.0, dtype), 0, jnp.asarray(False), x, f, g,
+                jnp.zeros_like(a0))
+        _, _, ok, xn, fn, gn, an = jax.lax.while_loop(cond, body, init)
+        return ok, xn, fn, gn, an
 
     def step(st: State) -> State:
         d = two_loop(st.g, st.S, st.Y, st.rho, st.hist_len, st.gamma)
         # ensure descent; fall back to the gradient if not
         descent = jnp.dot(d, st.g) > 0.0
         d = jnp.where(descent, d, st.g)
-        ok, xn, fn, gn = backtrack(st.x, st.f, st.g, d)
+        ok, xn, fn, gn, an = backtrack(st.x, st.f, st.g, d)
 
         s = xn - st.x
         y = gn - st.g
@@ -128,7 +142,8 @@ def lbfgs_box(fun: Callable, x0: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray,
         done = conv_g | (ok & conv_f) | (~ok)
 
         return State(k=st.k + 1, x=xn, f=fn, g=gn, S=S, Y=Y, rho=rho,
-                     hist_len=hist_len, gamma=gamma, done=done)
+                     hist_len=hist_len, gamma=gamma, done=done,
+                     aux_sum=st.aux_sum + jnp.where(ok, an, 0.0))
 
     def cond_fn(st: State):
         return (st.k < max_iter) & (~st.done)
@@ -136,10 +151,11 @@ def lbfgs_box(fun: Callable, x0: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray,
     init = State(k=jnp.asarray(0), x=x0, f=f0, g=g0,
                  S=jnp.zeros((m, n), dtype), Y=jnp.zeros((m, n), dtype),
                  rho=jnp.zeros(m, dtype), hist_len=jnp.asarray(0),
-                 gamma=jnp.asarray(1.0, dtype), done=jnp.asarray(False))
+                 gamma=jnp.asarray(1.0, dtype), done=jnp.asarray(False),
+                 aux_sum=a0)
     final = jax.lax.while_loop(cond_fn, step, init)
     return LbfgsResult(x=final.x, f=final.f, g=final.g, n_iter=final.k,
-                       converged=final.done)
+                       converged=final.done, aux_sum=final.aux_sum)
 
 
 def lbfgs_box_multistart(fun: Callable, x0_all: jnp.ndarray, lb, ub,

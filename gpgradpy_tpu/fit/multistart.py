@@ -133,22 +133,39 @@ def _jit_fit_fused(cfg: GpConfig, spec: DataSpec, info: HpInfo,
 
     def run(x0_all, lb, ub, data, eta):
         def obj(v):
-            val, g, _ = likelihood.neg_mll_and_grad(cfg, spec, info, data, v,
-                                                    eta)
-            return val, g
+            val, g, lkd = likelihood.neg_mll_and_grad(cfg, spec, info, data,
+                                                      v, eta)
+            # aux: 1.0 when the Cholesky failed and the restoring surrogate
+            # objective fired -- summed over visited iterates for the
+            # optz_n_cho_fail telemetry (OptzLkd.py:240-259)
+            return val, g, 1.0 - lkd.ok.astype(val.dtype)
 
         if hp_best:
             def nll(v):
-                val, _ = likelihood.neg_mll(cfg, spec, info, data, v, eta)
-                return val
-            vals = jax.vmap(nll)(x0_all)
+                val, lkd = likelihood.neg_mll(cfg, spec, info, data, v, eta)
+                return val, 1.0 - lkd.ok.astype(val.dtype)
+            vals, fails0 = jax.vmap(nll)(x0_all)
+            n_fail_scan = jnp.sum(fails0)
             vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
             starts = x0_all[jnp.argmin(vals)][None, :]
         else:
+            n_fail_scan = jnp.asarray(0.0, x0_all.dtype)
             starts = x0_all
 
+        # condition number at the selected start(s) (optz_max_init_cond,
+        # OptzLkd.py:240-259); skipped together with the final cond when
+        # with_cond=False (f64 eigh costs minutes of TPU compile time)
+        if with_cond:
+            init_cond = jnp.max(jax.vmap(
+                lambda v: likelihood.calc_lkd_hp_vec(
+                    cfg, spec, info, data, v, eta, calc_cond=True).cond
+            )(starts))
+        else:
+            init_cond = jnp.asarray(jnp.nan, x0_all.dtype)
+
         res = lbfgs.lbfgs_box_multistart(obj, starts, lb, ub,
-                                         max_iter=max_iter, tol_f=tol_f)
+                                         max_iter=max_iter, tol_f=tol_f,
+                                         has_aux=True)
         fvals = jnp.where(jnp.isfinite(res.f), res.f, jnp.inf)
         best = jnp.argmin(fvals)
         best_hp = res.x[best]
@@ -157,10 +174,11 @@ def _jit_fit_fused(cfg: GpConfig, spec: DataSpec, info: HpInfo,
         # (the polish fit reuses the main fit's cond for telemetry instead)
         lkd = likelihood.calc_lkd_hp_vec(cfg, spec, info, data, best_hp, eta,
                                          calc_cond=with_cond)
+        n_cho_fail = n_fail_scan + jnp.sum(res.aux_sum)
         return (best_hp, fvals[best], lkd.cond, lkd.ln_lkd,
                 jnp.mean(res.converged.astype(jnp.float32)),
                 jnp.mean(res.n_iter.astype(jnp.float32)),
-                jnp.max(res.n_iter))
+                jnp.max(res.n_iter), n_cho_fail, init_cond)
 
     return jax.jit(run)
 
@@ -228,16 +246,25 @@ def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     fused = _jit_fit_fused(cfg, spec, info, cfg.optz_iter_max,
                            cfg.optz_tol_obj, hp_best, with_cond)
     out = fused(x0_all, lb, ub, data, eta_const)
-    (best_hp, f_best, cond, _ln_lkd, conv_mean, it_mean, it_max) = out
-    f_best, cond, conv_mean, it_mean, it_max = jax.device_get(
-        (f_best, cond, conv_mean, it_mean, it_max))
+    (best_hp, f_best, cond, _ln_lkd, conv_mean, it_mean, it_max,
+     n_cho_fail, init_cond) = out
+    (f_best, cond, conv_mean, it_mean, it_max, n_cho_fail,
+     init_cond) = jax.device_get((f_best, cond, conv_mean, it_mean, it_max,
+                                  n_cho_fail, init_cond))
     tele = {
         "hp_optz_success": float(conv_mean),
         "hp_optz_iter_mean": float(it_mean),
         "hp_optz_iter_max": float(it_max),
         "hp_optz_con_good": 1.0,
-        "optz_n_cho_fail": 0,
+        # visited iterates (start scan + accepted L-BFGS steps) whose
+        # Cholesky failed and the restoring fallback objective fired;
+        # line-search probe points are not counted (the reference counts
+        # every scipy objective call, OptzLkd.py:240-259)
+        "optz_n_cho_fail": int(round(float(n_cho_fail))),
+        # the fast path never runs with a cond constraint (precon needs
+        # none, GaussianProcess.py:207-208; constrained methods route to
+        # the scipy driver), so no feasibility rejections can occur here
         "optz_n_cond2big": 0,
-        "optz_max_init_cond": float("nan"),
+        "optz_max_init_cond": float(init_cond),
     }
     return FitResult(hp_vec=best_hp, neg_lkd=f_best, cond=cond, info=tele)

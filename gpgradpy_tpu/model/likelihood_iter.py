@@ -75,8 +75,8 @@ def calc_lkd_iterative(cfg: GpConfig, spec: DataSpec, data: GpData,
 
     With ``mesh`` (a 1-axis jax Mesh) the matvec shards the point axis over
     the devices (parallel/sharded_matvec.kern_matvec_sharded_batch) and all
-    vectors live in the point-major layout; n_eval must divide the mesh
-    size.  The MLL value is bitwise layout-invariant up to float reduction
+    vectors live in the point-major layout; the mesh size must divide
+    n_eval.  The MLL value is bitwise layout-invariant up to float reduction
     order (every term is a dot product through the permuted-consistent
     matvec).
     """

@@ -57,7 +57,7 @@ def kern_matvec_sharded(kernel_type: str, mesh: Mesh, x: jnp.ndarray,
 
     x: (n, dim) sharded on axis 0; V: (n, 1+dim) point-major, sharded on
     axis 0.  ``pvec2_pm``: optional P^2 diagonal in point-major shape
-    (n, 1+dim) for the eta * P^2 term.  n must divide the mesh size.
+    (n, 1+dim) for the eta * P^2 term.  mesh.size must divide n.
     Returns (n, 1+dim) sharded like V.
     """
     n, dim = x.shape
@@ -110,7 +110,7 @@ def kern_matvec_sharded_batch(kernel_type: str, mesh: Mesh, x: jnp.ndarray,
 
     V2: (n*(1+dim), m) with rows grouped by point (blocked_to_pm_mat);
     x: (n, dim).  Both sharded on their leading axis over the mesh's data
-    axis (n must divide the mesh size so shards split at point boundaries).
+    axis (mesh.size must divide n so shards split at point boundaries).
     ``pvec2_pm``: optional flattened P^2 diagonal for the eta * P^2 term.
     One all_gather of x and of V per call; the row-block einsum is local.
     Returns (n*(1+dim), m) sharded like V2 -- the building block of the
@@ -118,6 +118,9 @@ def kern_matvec_sharded_batch(kernel_type: str, mesh: Mesh, x: jnp.ndarray,
     """
     n, dim = x.shape
     m = V2.shape[1]
+    assert n % mesh.size == 0, (
+        f"mesh.size ({mesh.size}) must divide n ({n}) so shards split at "
+        f"point boundaries")
 
     def local(x_loc, v_loc, p2_loc):
         x_all = jax.lax.all_gather(x_loc, DATA_AXIS, tiled=True)

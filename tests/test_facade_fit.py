@@ -196,3 +196,40 @@ def test_finish_optz_surr_truncates():
     gp.finish_optz_surr(1)
     assert gp.history.hp_theta.shape[0] == 1
     assert np.isfinite(gp.history.hp_theta[0, 0])
+
+
+def test_cho_fail_telemetry_and_recovery():
+    """Drive the vmapped fast path through the Cholesky-failure region and
+    verify (a) the failure count reaches the history telemetry (the
+    reference counts these, OptzLkd.py:240-259) and (b) the optimizer
+    recovers: the restoring fallback objective pushes theta up until the
+    factorization succeeds, and the returned hp has a good Cholesky.
+
+    Rig: near-duplicate points with a ZERO nugget (cond_eta_set_mtd
+    'dflt_eta', eta = 0) make Keta singular at small theta (correlation
+    exp(-theta r^2) -> 1), while large theta decorrelates the points and
+    factors fine -- so the LHS scan visits failing lanes but a feasible
+    basin exists."""
+    gp = GaussianProcess(1, True, "SqExp", "precon",
+                         cond_eta_set_mtd="dflt_eta", cond_eta_dflt=0.0)
+    x = np.array([[0.0], [1e-6], [2e-6]])
+    f = np.array([1.0, 1.0, 1.0])
+    g = np.array([[0.1], [0.1], [0.1]])
+    gp.init_optz_surr(1)
+    gp.set_data(x, f, np.zeros(3), g, np.zeros((3, 1)))
+    gp.set_hpara("optz", 0)
+    assert gp.history.optz_n_cho_fail[0] > 0
+    _, ok = gp.calc_lkd_all(gp.hp_vals)
+    assert ok
+
+
+def test_time_chofac_recorded():
+    x = np.linspace(0.0, 5.0, 6)[:, None]
+    f = np.sin(x[:, 0])
+    g = np.cos(x)
+    gp = GaussianProcess(1, True, "SqExp", "precon")
+    gp.init_optz_surr(1)
+    gp.set_data(x, f, np.zeros(6), g, np.zeros((6, 1)))
+    gp.set_hpara("optz", 0)
+    assert np.isfinite(gp.history.time_chofac[0])
+    assert gp.history.time_chofac[0] >= 0
