@@ -79,7 +79,11 @@ class GpConfig:
     cond_max_target: float = 1e10
     cond_max: float = 1e10
     cond_max_abs: float = 1e16
-    cond_norm: int = 2                    # 2 or 'fro' (int 2 only on the fast path)
+    cond_norm: int = 2                    # 2 (spectral, eigh) or 'fro'
+                                          # (Frobenius via Cholesky solves);
+                                          # dispatched wherever the cond
+                                          # number is evaluated
+                                          # (GpHparaCon.py:135-261)
 
     cond_dist_min_dflt: float = 1.0
     cond_dist_max_dflt: float = 1.0

@@ -47,7 +47,7 @@ def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
             ops = assembly.assemble_keta(
                 cfg, spec, data, hp, eta_const,
                 varK=hp.varK if spec.b_has_noisy_data else None)
-            return assembly.calc_cond(ops)
+            return assembly.calc_cond(ops, cfg.cond_norm)
         return jax.value_and_grad(c)(v)
 
     class Memo:
@@ -122,8 +122,17 @@ def fit_map_scipy(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
         constraints = [NonlinearConstraint(f_cond, -np.inf, cfg.cond_max,
                                            jac=f_cond_grad)]
 
-    opt = {"ftol": cfg.optz_tol_obj, "eps": cfg.optz_tol_x,
-           "maxiter": cfg.optz_iter_max, "disp": False}
+    # optimizer dispatch (OptzLkd.py:211-222): SLSQP is the reference
+    # default; trust-constr takes its own option set
+    if cfg.optz_mtd == "trust-constr":
+        method = "trust-constr"
+        opt = {"initial_tr_radius": 0.1, "xtol": cfg.optz_tol_x,
+               "gtol": cfg.optz_tol_obj, "maxiter": cfg.optz_iter_max,
+               "disp": False}
+    else:
+        method = "SLSQP"
+        opt = {"ftol": cfg.optz_tol_obj, "eps": cfg.optz_tol_x,
+               "maxiter": cfg.optz_iter_max, "disp": False}
     box = Bounds(bounds.box_lb, bounds.box_ub, keep_feasible=True)
 
     n_optz = x0_all.shape[0]
@@ -136,7 +145,7 @@ def fit_map_scipy(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
 
     for i in range(n_optz):
         memo.last_x = None
-        res = minimize(f_obj, x0_all[i], method="SLSQP", jac=f_grad,
+        res = minimize(f_obj, x0_all[i], method=method, jac=f_grad,
                        bounds=box, constraints=constraints, options=opt)
         sols[i] = res.x
         objs[i] = res.fun

@@ -188,8 +188,17 @@ def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
                    ok=fac.ok)
 
 
-def calc_cond(ops: KetaOps) -> jnp.ndarray:
+def calc_cond(ops: KetaOps, norm=2) -> jnp.ndarray:
     """Condition number of the factorized matrix M -- for 'precon' this is
     cond(Kcov_precon) (Kernel.py:240); otherwise cond(Kcov) up to the varK
-    scale (which cancels in the L2 condition number)."""
+    scale (which cancels in either norm).
+
+    ``norm`` dispatches like the reference (GpHparaCon.calc_cond_w_grad,
+    GpHparaCon.py:135-155): 2 -> spectral via eigh; 'fro' -> Frobenius via
+    Cholesky solves (cheaper; no eigendecomposition).  Gradients of either
+    come from autodiff of this value (the reference hand-derives both,
+    GpHparaCon.py:161-261)."""
+    if norm == "fro":
+        return linalg.cond_fro_w_chol(ops.M, ops.fac)
+    assert norm == 2, f"cond_norm must be 2 or 'fro', got {norm!r}"
     return linalg.cond_eigh(ops.M)

@@ -95,7 +95,8 @@ def calc_lkd(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
         ln_lkd = -(n_data * jnp.log(varK) + ops.logdet) / 2.0 - pnlt
         ln_det = ops.logdet
 
-    cond = assembly.calc_cond(ops) if calc_cond else jnp.asarray(jnp.nan)
+    cond = (assembly.calc_cond(ops, cfg.cond_norm) if calc_cond
+            else jnp.asarray(jnp.nan))
     return LkdInfo(ln_lkd=ln_lkd, beta=beta, varK=varK, ln_det=ln_det,
                    cond=cond, etaK=ops.etaK, ok=ops.ok)
 

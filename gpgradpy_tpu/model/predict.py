@@ -73,7 +73,8 @@ def setup_eval(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
         data_vec = data_vec * mv
     mean_vec = vand @ hp.beta
     invK_fdiff = _ops_solve(cfg, ops, data_vec - mean_vec)
-    cond = assembly.calc_cond(ops) if calc_cond else jnp.asarray(jnp.nan)
+    cond = (assembly.calc_cond(ops, cfg.cond_norm) if calc_cond
+            else jnp.asarray(jnp.nan))
     return EvalState(ops=ops, invK_fdiff=invK_fdiff, hp=hp, cond=cond)
 
 

@@ -233,3 +233,36 @@ def test_time_chofac_recorded():
     gp.set_hpara("optz", 0)
     assert np.isfinite(gp.history.time_chofac[0])
     assert gp.history.time_chofac[0] >= 0
+
+
+@pytest.mark.parametrize("cond_norm", [2, "fro"])
+@pytest.mark.parametrize("optz_mtd", ["slsqp", "trust-constr"])
+def test_cond_norm_and_optimizer_dispatch(cond_norm, optz_mtd):
+    """'fro' condition norm and the trust-constr optimizer through the
+    constrained scipy driver (GpHparaCon.py:135-261, OptzLkd.py:211-222):
+    the fit must succeed and the final cond (in the configured norm) must
+    satisfy the constraint."""
+    x, f, g = _sin_problem()
+    gp = GaussianProcess(1, True, "SqExp", "base", optz_mtd=optz_mtd,
+                         cond_norm=cond_norm, cond_max=1e8,
+                         cond_max_target=1e8)
+    gp.init_optz_surr(1)
+    gp.set_data(x, f, np.zeros(8), g, np.zeros((8, 1)))
+    gp.set_hpara("optz", 0, calc_cond=True)
+    assert np.isfinite(gp.condK)
+    assert gp.condK < 1.01 * 1e8
+    mu = gp.eval_model(x)[0]
+    np.testing.assert_allclose(mu, f, atol=1e-3)
+
+
+def test_cond_fro_matches_numpy():
+    """Frobenius cond oracle: ||A||_F ||A^-1||_F == np.linalg.cond(A, 'fro')."""
+    import jax.numpy as jnp
+    from gpgradpy_tpu.ops import linalg as L
+
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((7, 7))
+    A = B @ B.T + 7 * np.eye(7)
+    fac = L.cholesky_ok(jnp.asarray(A))
+    got = float(L.cond_fro_w_chol(jnp.asarray(A), fac))
+    np.testing.assert_allclose(got, np.linalg.cond(A, "fro"), rtol=1e-10)
