@@ -70,6 +70,37 @@ def _jit_eval_var(cfg, spec, calc_grad, calc_hess):
         cfg, spec, data, state, xq, calc_grad=calc_grad, calc_hess=calc_hess))
 
 
+def _iter_kw(cfg):
+    return dict(max_cg_iters=cfg.iter_max_cg, cg_tol=cfg.iter_cg_tol,
+                row_block=cfg.iter_row_block)
+
+
+@lru_cache(maxsize=64)
+def _jit_closed_iter(cfg, spec, mesh):
+    from .model import likelihood_iter
+    return jax.jit(lambda data, hp, eta: likelihood_iter.closed_form_iterative(
+        cfg, spec, data, hp, eta, mesh=mesh, **_iter_kw(cfg)))
+
+
+@lru_cache(maxsize=64)
+def _jit_setup_eval_iter(cfg, spec, mesh):
+    from .model import predict_iter
+    return jax.jit(lambda data, hp, eta: predict_iter.setup_eval_iterative(
+        cfg, spec, data, hp, eta, mesh=mesh, **_iter_kw(cfg)))
+
+
+@lru_cache(maxsize=64)
+def _jit_eval_iter(cfg, spec, calc_grad, mesh):
+    from .model import predict_iter
+
+    def run(data, state, eta, xq):
+        return predict_iter.eval_model_iterative(
+            cfg, spec, data, state, eta, xq, calc_sig=True,
+            calc_grad=calc_grad, mesh=mesh, **_iter_kw(cfg))
+
+    return jax.jit(run)
+
+
 class GaussianProcess:
 
     def __init__(self, dim: int, use_grad: bool,
@@ -240,7 +271,10 @@ class GaussianProcess:
         self.bvec_use_grad = bvec_use_grad
 
         n_pad = 0
-        if cfg.pad_n_eval_multiple > 1 and not cfg.b_use_data_scl:
+        if (cfg.pad_n_eval_multiple > 1 and not cfg.b_use_data_scl
+                and cfg.solver != "iterative"):
+            # the iterative path masks missing-gradient rows structurally but
+            # keeps shapes static via its own full layout -- no bucketing
             n_pad = (-n_eval) % cfg.pad_n_eval_multiple
         self.spec = make_data_spec(cfg.dim, cfg.use_grad, n_eval,
                                    std_fval=self._std_fval_in,
@@ -456,8 +490,27 @@ class GaussianProcess:
                 self._fval_in, -float(fit.neg_lkd), t_optz,
                 getattr(self, "_time_chofac_last", np.nan), np.nan)
 
+    def _iter_mesh(self):
+        """1-D device mesh for the iterative solver's sharded matvecs (or
+        None).  Cached: jit closures key on mesh identity."""
+        if not self.cfg.iter_use_mesh:
+            return None
+        m = getattr(self, "_iter_mesh_cache", None)
+        if m is None:
+            from .parallel.sharded_matvec import make_data_mesh
+            m = make_data_mesh()
+            object.__setattr__(self, "_iter_mesh_cache", m)
+        return m
+
     def _run_fit(self, i_optz, x0_override=None):
         cfg = self.cfg
+        if cfg.solver == "iterative":
+            from .fit import iterative_driver
+            return iterative_driver.fit_map_iterative(
+                cfg, self.spec, self.hp_info_optz_lkd, self.data,
+                self._eta_for_core(), history=self.history, i_optz=i_optz,
+                seed=self._fit_seed, x0_override=x0_override,
+                mesh=self._iter_mesh())
         use_scipy = (cfg.optz_mtd in ("slsqp", "SLSQP", "trust-constr")
                      or cfg.b_use_cond_cstr)
         fitter = scipy_driver.fit_map_scipy if use_scipy else multistart.fit_map
@@ -556,6 +609,14 @@ class GaussianProcess:
         return theta_out, dist2, xvec_new
 
     def _closed_form(self, hp_vals: Hypers) -> Hypers:
+        if self.cfg.solver == "iterative":
+            fn = _jit_closed_iter(self.cfg, self.spec, self._iter_mesh())
+            t0 = time.time()
+            hp2 = jax.block_until_ready(
+                fn(self.data, hp_vals, self._eta_for_core()))
+            self._time_chofac_last = time.time() - t0
+            self._time_chofac += self._time_chofac_last
+            return hp2
         # closed-form beta/varK at the PREDICT precision/conditioning: these
         # feed the surrogate directly, so under polish they are recovered
         # from the f64 cond-target covariance, not the f32 fit one
@@ -599,6 +660,14 @@ class GaussianProcess:
     def setup_eval_model(self, calc_cond: bool = False):
         assert self.hp_vals is not None, "hyperparameters not set"
         self._hp_vals_model_setup = self.hp_vals
+        if self.cfg.solver == "iterative":
+            # no factorization to probe for a condition number; the CG
+            # residual/iteration telemetry lives on the state instead
+            fn = _jit_setup_eval_iter(self.cfg, self.spec, self._iter_mesh())
+            self._eval_state = fn(self.data, self.hp_vals,
+                                  self._eta_for_core())
+            self.condK = None
+            return
         fn = _jit_setup_eval(self.cfg_predict, self.spec, bool(calc_cond))
         self._eval_state = fn(self.data, self.hp_vals,
                               self._eta_for_predict())
@@ -623,10 +692,21 @@ class GaussianProcess:
         if self.DataScl is not None:
             xq = self.DataScl.x_init_2_scl(xq)
 
-        fn = _jit_eval_model(self.cfg_predict, self.spec, bool(calc_grad),
-                             bool(calc_hess))
-        mu, sig, dmu, dsig, d2mu, d2sig = fn(self.data, self._eval_state,
-                                             jnp.asarray(xq, self._predict_dtype))
+        if self.cfg.solver == "iterative":
+            assert not calc_hess, \
+                "iterative predict: Hessians not supported (use solver='dense')"
+            fn = _jit_eval_iter(self.cfg, self.spec, bool(calc_grad),
+                                self._iter_mesh())
+            mu, sig, dmu, dsig = fn(self.data, self._eval_state,
+                                    self._eta_for_core(),
+                                    jnp.asarray(xq, self.dtype))
+            d2mu = d2sig = None
+        else:
+            fn = _jit_eval_model(self.cfg_predict, self.spec, bool(calc_grad),
+                                 bool(calc_hess))
+            mu, sig, dmu, dsig, d2mu, d2sig = fn(
+                self.data, self._eval_state,
+                jnp.asarray(xq, self._predict_dtype))
         if self.DataScl is not None:
             mu, sig, dmu, dsig, d2mu, d2sig = self.DataScl.obj_scl_2_init(
                 mu, sig, dmu, dsig, d2mu, d2sig)
@@ -645,9 +725,22 @@ class GaussianProcess:
         here (use eval_model)."""
         self._check_eval_ready()
         assert self.DataScl is None, "make_predict_fn: no rescaling frames"
+        data, state, dt = self.data, self._eval_state, self.dtype
+        if self.cfg.solver == "iterative":
+            assert not calc_hess, \
+                "iterative predict: Hessians not supported (use solver='dense')"
+            fni = _jit_eval_iter(self.cfg, self.spec, bool(calc_grad),
+                                 self._iter_mesh())
+            eta = self._eta_for_core()
+
+            def predict_i(xq):
+                mu, sig, dmu, dsig = fni(data, state, eta,
+                                         jnp.asarray(xq, dt))
+                return mu, sig, dmu, dsig, None, None
+
+            return predict_i
         fn = _jit_eval_model(self.cfg_predict, self.spec, bool(calc_grad),
                              bool(calc_hess))
-        data, state, dt = self.data, self._eval_state, self.dtype
 
         def predict(xq):
             return fn(data, state, jnp.asarray(xq, dt))
@@ -666,10 +759,22 @@ class GaussianProcess:
             assert xq.shape[0] == 1
         if self.DataScl is not None:
             xq = self.DataScl.x_init_2_scl(xq)
-        fn = _jit_eval_var(self.cfg_predict, self.spec, bool(calc_grad),
-                           bool(calc_hess))
-        sig2, dsig2, d2sig2 = fn(self.data, self._eval_state,
-                                 jnp.asarray(xq, self._predict_dtype))
+        if self.cfg.solver == "iterative":
+            assert not calc_hess, \
+                "iterative predict: Hessians not supported (use solver='dense')"
+            fn = _jit_eval_iter(self.cfg, self.spec, bool(calc_grad),
+                                self._iter_mesh())
+            _, sig, _, dsig = fn(self.data, self._eval_state,
+                                 self._eta_for_core(),
+                                 jnp.asarray(xq, self.dtype))
+            sig2 = sig ** 2
+            dsig2 = None if dsig is None else 2.0 * sig[:, None] * dsig
+            d2sig2 = None
+        else:
+            fn = _jit_eval_var(self.cfg_predict, self.spec, bool(calc_grad),
+                               bool(calc_hess))
+            sig2, dsig2, d2sig2 = fn(self.data, self._eval_state,
+                                     jnp.asarray(xq, self._predict_dtype))
         out = [np.asarray(v) if v is not None else None
                for v in (sig2, dsig2, d2sig2)]
         if self.DataScl is not None:

@@ -118,6 +118,25 @@ class GpConfig:
                                           # multiple so growing datasets (BO)
                                           # reuse one compiled program
 
+    # --- large-n iterative solver (facade entry for SURVEY 5.7) ---
+    solver: str = "dense"                 # 'dense' (Cholesky, O(n^3)) or
+                                          # 'iterative' (matrix-free CG+SLQ,
+                                          # O(n^2) time / O(n*block) memory;
+                                          # model/likelihood_iter.py)
+    iter_n_probes: int = 16               # Hutchinson/SLQ probe vectors
+    iter_max_cg: int = 1024               # CG iteration cap: the diagonal
+                                          # (precon-trick) preconditioner
+                                          # needs ~sqrt(cond) iterations, so
+                                          # ~1e3 at cond_max_target 1e6 (pair
+                                          # the iterative solver with a
+                                          # moderate cond target)
+    iter_cg_tol: float = 1e-10            # CG relative-residual tolerance
+    iter_row_block: int = 256             # covariance row-tile height
+    iter_n_x0: int = 2                    # multistarts for the iterative fit
+    iter_use_mesh: bool = False           # shard matvecs over all local
+                                          # devices (point axis on a 1-D mesh;
+                                          # mesh size must divide n_eval)
+
     def __post_init__(self):
         assert self.kernel_type in KERNEL_TYPES, f"unknown kernel {self.kernel_type}"
         assert self.wellcond_mtd in WELLCOND_MTD_AVAIL, (
@@ -126,6 +145,14 @@ class GpConfig:
         # reference forces 'base' when gradients are off (GaussianProcess.py:202)
         if not self.use_grad and self.wellcond_mtd != "base":
             object.__setattr__(self, "wellcond_mtd", "base")
+        assert self.solver in ("dense", "iterative"), \
+            f"unknown solver {self.solver}"
+        if self.solver == "iterative":
+            # dense-path-only features: polish re-fit (warm f64 Cholesky
+            # refit) and the Pallas dense assembly have no iterative analog
+            assert not self.polish_cond_target and not self.use_pallas, (
+                "solver='iterative' does not combine with polish_cond_target "
+                "or use_pallas (dense-factorization features)")
         if self.wellcond_mtd == "rescale_eta_vary":
             object.__setattr__(self, "cond_eta_is_const", False)
 

@@ -22,3 +22,6 @@ jax.config.update("jax_enable_x64", True)
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end test")
+    config.addinivalue_line(
+        "markers", "heavy: compile-heavy test (sharding / iterative / "
+        "inference); deselect with -m 'not heavy' for a fast inner loop")

@@ -1,0 +1,233 @@
+"""Facade entry for the large-n iterative solver (solver='iterative'):
+fit driver through the CG/SLQ MLL, matrix-free predict, partial/no
+gradients, rescaling frames, and the sharded-mesh path.
+
+Dense analog being matched: model/assembly.py + model/predict.py
+(reference Kernel.py:140, GpEvalModel.py:59)."""
+
+import numpy as np
+import pytest
+
+from gpgradpy_tpu.api import GaussianProcess
+
+pytestmark = pytest.mark.heavy
+
+
+def _branin_like(x):
+    f = np.sum(x ** 2, axis=1) + 0.5 * np.sin(3.0 * x[:, 0]) * x[:, 1]
+    g = 2.0 * x
+    g[:, 0] += 1.5 * np.cos(3.0 * x[:, 0]) * x[:, 1]
+    g[:, 1] += 0.5 * np.sin(3.0 * x[:, 0])
+    return f, g
+
+
+def _dataset(n=40, dim=2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.5, 1.5, (n, dim))
+    f, g = _branin_like(x)
+    return x, f, g
+
+
+# moderate conditioning target: the iterative path's diagonal-preconditioned
+# CG needs eta well above f64 round-off (cond <= ~1e6 converges in O(100)
+# iterations; the dense default 1e10 would need a low-rank preconditioner)
+_COND = dict(cond_max_target=1e6, cond_max=1e6)
+
+
+def _gp(solver, n=40, use_grad=True, wellcond="precon", **kw):
+    x, f, g = _dataset(n)
+    gp = GaussianProcess(2, use_grad, "SqExp", wellcond, solver=solver,
+                         **_COND, **kw)
+    gp.set_data(x, f, np.zeros(len(f)), g if use_grad else None,
+                np.zeros_like(g) if use_grad else None)
+    return gp, x
+
+
+_HP = dict(theta=[3.0, 2.0], varK=None)
+
+
+def _set_same_hp(gp):
+    gp.set_custom_hp(theta=np.asarray(_HP["theta"]))
+    gp.set_hpara("current", 0)
+
+
+def _xq():
+    rng = np.random.default_rng(99)
+    return rng.uniform(-1.4, 1.4, (7, 2))
+
+
+def test_iterative_predict_matches_dense():
+    """Same hyperparameters, same data: the matrix-free predict must agree
+    with the dense factorization to CG tolerance (mu, sig, and gradients)."""
+    gpd, _ = _gp("dense")
+    gpi, _ = _gp("iterative")
+    _set_same_hp(gpd)
+    _set_same_hp(gpi)
+    xq = _xq()
+    mu_d, sig_d, dmu_d, dsig_d, _, _ = gpd.eval_model(xq, calc_grad=True)
+    mu_i, sig_i, dmu_i, dsig_i, _, _ = gpi.eval_model(xq, calc_grad=True)
+    assert np.allclose(mu_i, mu_d, rtol=1e-7, atol=1e-9)
+    assert np.allclose(sig_i, sig_d, rtol=1e-5, atol=1e-9)
+    assert np.allclose(dmu_i, dmu_d, rtol=1e-6, atol=1e-7)
+    assert np.allclose(dsig_i, dsig_d, rtol=1e-4, atol=1e-7)
+
+    v_d = gpd.eval_model_var(xq, calc_grad=True)
+    v_i = gpi.eval_model_var(xq, calc_grad=True)
+    assert np.allclose(v_i[0], v_d[0], rtol=1e-5, atol=1e-12)
+    assert np.allclose(v_i[1], v_d[1], rtol=1e-4, atol=1e-9)
+
+
+def test_iterative_fit_reaches_dense_quality():
+    """optz_hp through the CG/SLQ MLL: the dense MLL at the iterative-fit
+    hyperparameters must be within probe noise of the dense-fit optimum."""
+    gpd, _ = _gp("dense")
+    gpi, _ = _gp("iterative", iter_n_probes=32)
+    gpd.init_optz_surr(2)
+    gpi.init_optz_surr(2)
+    gpd.set_hpara("optz", 0)
+    gpi.set_hpara("optz", 0)
+
+    lkd_d, _ = gpd.calc_lkd_all(gpd.hp_vals)
+    lkd_i, _ = gpd.calc_lkd_all(gpi.hp_vals)   # dense MLL at iterative hp
+    f_d, f_i = -float(lkd_d.ln_lkd), -float(lkd_i.ln_lkd)
+    assert np.isfinite(f_i)
+    assert f_i <= f_d + max(2.0, 0.02 * abs(f_d)), (f_i, f_d)
+
+    # predictions from the iterative fit are sane
+    xq = _xq()
+    mu_i = gpi.eval_model(xq)[0]
+    f_true, _ = _branin_like(xq)
+    rel = np.linalg.norm(mu_i - f_true) / np.linalg.norm(f_true)
+    assert rel < 0.05, rel
+
+
+def test_iterative_partial_gradients():
+    """bvec_use_grad subset: the masked full-layout system must reproduce
+    the dense compact system (MLL and predictions)."""
+    x, f, g = _dataset(24)
+    bvec = np.zeros(24, bool)
+    bvec[::2] = True
+    kw = dict(kernel_type="SqExp", wellcond_mtd="precon", **_COND)
+
+    gps = []
+    for solver in ("dense", "iterative"):
+        gp = GaussianProcess(2, True, solver=solver, **kw)
+        gp.set_data(x, f, np.zeros(24), g[bvec], np.zeros((bvec.sum(), 2)),
+                    bvec_use_grad=bvec)
+        _set_same_hp(gp)
+        gps.append(gp)
+    gpd, gpi = gps
+    xq = _xq()
+    mu_d, sig_d, *_ = gpd.eval_model(xq, calc_grad=True)
+    mu_i, sig_i, *_ = gpi.eval_model(xq, calc_grad=True)
+    assert np.allclose(mu_i, mu_d, rtol=1e-7, atol=1e-9)
+    assert np.allclose(sig_i, sig_d, rtol=1e-5, atol=1e-9)
+
+    # MLL parity at the same hp (value within SLQ probe error)
+    from gpgradpy_tpu.model import likelihood, likelihood_iter
+    import jax
+    lkd_d = likelihood.calc_lkd(gpd.cfg, gpd.spec, gpd.data, gpd.hp_vals,
+                                gpd._eta_for_core())
+    it = likelihood_iter.calc_lkd_iterative(
+        gpi.cfg, gpi.spec, gpi.data, gpi.hp_vals, gpi._eta_for_core(),
+        jax.random.PRNGKey(0), n_probes=64, max_cg_iters=512)
+    assert np.isclose(float(it.varK), float(lkd_d.varK), rtol=1e-6)
+    assert np.isclose(float(it.ln_lkd), float(lkd_d.ln_lkd),
+                      rtol=2e-2, atol=2.0)
+
+
+def test_iterative_no_gradients():
+    """use_grad=False runs on the same masked full layout."""
+    gpd, _ = _gp("dense", use_grad=False, wellcond="base")
+    gpi, _ = _gp("iterative", use_grad=False, wellcond="base")
+    _set_same_hp(gpd)
+    _set_same_hp(gpi)
+    xq = _xq()
+    mu_d, sig_d, *_ = gpd.eval_model(xq)
+    mu_i, sig_i, *_ = gpi.eval_model(xq)
+    assert np.allclose(mu_i, mu_d, rtol=1e-7, atol=1e-10)
+    assert np.allclose(sig_i, sig_d, rtol=1e-5, atol=1e-10)
+
+
+def test_iterative_rescale_frame():
+    """Rescaling frames wrap the iterative core exactly like the dense one
+    (the frame transforms live in the facade/DataScl)."""
+    gpd, _ = _gp("dense", wellcond="rescale_origin")
+    gpi, _ = _gp("iterative", wellcond="rescale_origin")
+    _set_same_hp(gpd)
+    _set_same_hp(gpi)
+    xq = _xq()
+    mu_d, sig_d, *_ = gpd.eval_model(xq)
+    mu_i, sig_i, *_ = gpi.eval_model(xq)
+    assert np.allclose(mu_i, mu_d, rtol=1e-7, atol=1e-9)
+    assert np.allclose(sig_i, sig_d, rtol=1e-5, atol=1e-9)
+
+    # the full rescale fixed-point fit loop also runs on the iterative path
+    gpi.init_optz_surr(2)
+    gpi.set_hpara("optz", 0)
+    mu_fit = gpi.eval_model(xq)[0]
+    f_true, _ = _branin_like(xq)
+    rel = np.linalg.norm(mu_fit - f_true) / np.linalg.norm(f_true)
+    assert rel < 0.1, rel
+
+
+def test_iterative_noisy_regime():
+    """Noisy data (varK/var_fval as numeric hyperparameters) through the
+    facade: predictions at the same hp match dense."""
+    x, f, g = _dataset(32)
+    kw = dict(kernel_type="SqExp", wellcond_mtd="precon", **_COND)
+    gps = []
+    for solver in ("dense", "iterative"):
+        gp = GaussianProcess(2, True, solver=solver, **kw)
+        gp.set_data(x, f, 1e-2 * np.ones(32), g, 1e-2 * np.ones_like(g))
+        gp.set_custom_hp(theta=np.asarray(_HP["theta"]), varK=2.0)
+        gp.set_hpara("current", 0)
+        gps.append(gp)
+    gpd, gpi = gps
+    xq = _xq()
+    mu_d, sig_d, *_ = gpd.eval_model(xq)
+    mu_i, sig_i, *_ = gpi.eval_model(xq)
+    assert np.allclose(mu_i, mu_d, rtol=1e-6, atol=1e-8)
+    assert np.allclose(sig_i, sig_d, rtol=1e-4, atol=1e-8)
+
+
+def test_iterative_mesh_matches_single():
+    """iter_use_mesh=True shards the matvecs over the 8 virtual devices;
+    results must match the single-device iterative path."""
+    gpi, _ = _gp("iterative", n=40)
+    gpm, _ = _gp("iterative", n=40, iter_use_mesh=True)
+    _set_same_hp(gpi)
+    _set_same_hp(gpm)
+    xq = _xq()
+    mu_i, sig_i, *_ = gpi.eval_model(xq)
+    mu_m, sig_m, *_ = gpm.eval_model(xq)
+    assert np.allclose(mu_m, mu_i, rtol=1e-9, atol=1e-11)
+    assert np.allclose(sig_m, sig_i, rtol=1e-7, atol=1e-11)
+
+
+@pytest.mark.slow
+def test_iterative_mesh_large_n_vs_dense():
+    """n_eval=4096 on the 8-virtual-device mesh: facade fit+predict through
+    the sharded CG/SLQ pipeline matches the dense factorization within CG
+    tolerance (the VERDICT round-2 'large-n entry point' criterion)."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    x = rng.uniform(-2.0, 2.0, (n, 1))
+    f = np.sin(2.0 * x[:, 0]) + 0.1 * x[:, 0] ** 2
+    g = (2.0 * np.cos(2.0 * x[:, 0]) + 0.2 * x[:, 0])[:, None]
+
+    def make(solver, **kw):
+        gp = GaussianProcess(1, True, "SqExp", "precon", solver=solver,
+                             **_COND, **kw)
+        gp.set_data(x, f, np.zeros(n), g, np.zeros_like(g))
+        gp.set_custom_hp(theta=np.asarray([4.0]))
+        gp.set_hpara("current", 0)
+        return gp
+
+    gpm = make("iterative", iter_use_mesh=True, iter_row_block=512)
+    gpd = make("dense")
+    xq = np.linspace(-1.9, 1.9, 32)[:, None]
+    mu_m, sig_m, *_ = gpm.eval_model(xq)
+    mu_d, sig_d, *_ = gpd.eval_model(xq)
+    assert np.allclose(mu_m, mu_d, rtol=1e-6, atol=1e-8)
+    assert np.allclose(sig_m, sig_d, rtol=1e-4, atol=1e-8)
