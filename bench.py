@@ -25,6 +25,7 @@ to stderr with --verbose; the stdout line stays machine-readable.
 
 import argparse
 import json
+import os
 import sys
 import time
 import warnings
@@ -167,6 +168,87 @@ def bench_chol(verbose=False, sizes=(1024, 2048, 4096)):
                   f"-> {tflops:.2f} TFLOP/s", file=sys.stderr)
 
 
+def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
+    """Covariance-assembly throughput, Pallas tiled kernel vs XLA dense, at
+    two sizes (n_data = (dim+1)*n_pts = 4096 / 8192).  Latency-cancelling
+    scheme (CLAUDE.md measurement caveat): time a jitted scan of R repeated
+    assemblies for two chain lengths and difference them so the tunnel
+    round-trip drops out; theta varies per step to defeat CSE."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from gpgradpy_tpu.ops import kernels, rtensor, pallas_assembly
+
+    R_LO, R_HI = 2, 10
+    for n_pts, dim in sizes:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-2, 2, (n_pts, dim)), jnp.float32)
+        theta0 = jnp.asarray(rng.uniform(0.5, 2.0, dim), jnp.float32)
+        n_data = (dim + 1) * n_pts
+        nbytes = n_data * n_data * 4
+
+        def xla_assemble(th):
+            R = rtensor.calc_rtensor(x, x)
+            return kernels.kern_mat("SqExp", R, th, None, use_grad=True)
+
+        def pallas_assemble(th):
+            return pallas_assembly.kern_grad_pallas("SqExp", x, x, th,
+                                                    block=128)
+
+        def make_many(assemble):
+            @partial(jax.jit, static_argnums=0)
+            def many(reps):
+                def body(c, _):
+                    K = assemble(theta0 * (1.0 + 1e-6 * c))
+                    return c + 1.0, jnp.sum(K[-1])
+                _, outs = jax.lax.scan(body, 0.0, None, length=reps)
+                return jnp.sum(outs)
+            return many
+
+        for name, assemble in (("xla", xla_assemble),
+                               ("pallas", pallas_assemble)):
+            many = make_many(assemble)
+            try:
+                float(many(R_LO)); float(many(R_HI))
+                t = {}
+                for reps in (R_LO, R_HI, R_LO, R_HI):
+                    t0 = time.time()
+                    float(many(reps))
+                    t.setdefault(reps, []).append(time.time() - t0)
+                per = max((min(t[R_HI]) - min(t[R_LO])) / (R_HI - R_LO),
+                          1e-9)
+                if verbose:
+                    print(f"[assembly] n_data={n_data} {name:6s}: "
+                          f"{per*1e3:8.2f} ms -> {nbytes/per/1e9:7.1f} GB/s",
+                          file=sys.stderr)
+            except Exception as e:
+                print(f"[assembly] n_data={n_data} {name}: FAILED {e}",
+                      file=sys.stderr)
+
+
+def bench_scaling(verbose=False):
+    """Multi-device scaling efficiency (examples/scaling_harness.py) on a
+    virtual 8-device CPU mesh: NUTS samples/s and fit starts/s vs n_devices
+    at fixed total work, JSON on stderr.  On a real multi-chip slice the
+    same harness (with --distributed) emits the production >=70%-efficiency
+    number from BASELINE.json; a single remote chip can't measure it."""
+    import subprocess
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "examples", "scaling_harness.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "--devices", "1", "2", "4", "8",
+             "--chains", "16", "--samples", "32", "--warmup", "32",
+             "--starts", "16"],
+            capture_output=True, text=True, timeout=1200)
+        if verbose:
+            sys.stderr.write(out.stderr)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        print(f"[scaling] {line}", file=sys.stderr)
+    except Exception as e:  # diagnostic only -- never fail the bench
+        print(f"[scaling] harness failed: {e}", file=sys.stderr)
+
+
 def bench_nuts(verbose=False):
     """NUTS samples/s on the GP hyperparameter posterior (diagnostic)."""
     import jax
@@ -222,6 +304,9 @@ def main():
                     help="also benchmark NUTS samples/s (stderr)")
     ap.add_argument("--fast", action="store_true",
                     help="fast f32-only mode (no f64 polish; ~3% rel RMSE)")
+    ap.add_argument("--assembly", action="store_true",
+                    help="also benchmark Pallas vs XLA covariance assembly "
+                         "at n_data 4096/8192 (stderr)")
     args = ap.parse_args()
 
     t_ours, rmse_ours, platform = bench_ours(verbose=args.verbose,
@@ -237,6 +322,9 @@ def main():
     if args.nuts:
         bench_nuts(verbose=True)
         bench_chol(verbose=True)
+        bench_scaling(verbose=True)
+    if args.assembly:
+        bench_assembly(verbose=True)
 
     # quality gate: a fast but broken fit must not count.  The default
     # (polish) mode matches the f64 reference quality (~0.2% rel RMSE on

@@ -490,6 +490,16 @@ class GaussianProcess:
                 self._fval_in, -float(fit.neg_lkd), t_optz,
                 getattr(self, "_time_chofac_last", np.nan), np.nan)
 
+    def plt_debug_lkd(self, i_optz=0, dims=(0, 1), n_grid=10, hp_x0=None,
+                      hp_optz=None, path=None, show=False):
+        """MLL 2-D contour debug hook (GpHparaOptz.plt_debug_lkd,
+        GpHparaOptz.py:233-289): normalized negative-MLL contours over two
+        hyperparameters with the starts/optimum overlaid -- the whole grid
+        is one vmapped jitted batch instead of the reference's n^2 loop."""
+        from .utils.lkd_contour import plt_debug_lkd as _plt
+        return _plt(self, i_optz=i_optz, dims=dims, n_grid=n_grid,
+                    hp_x0=hp_x0, hp_optz=hp_optz, path=path, show=show)
+
     def _iter_mesh(self):
         """1-D device mesh for the iterative solver's sharded matvecs (or
         None).  Cached: jit closures key on mesh identity."""

@@ -93,7 +93,12 @@ def lbfgs_box(fun: Callable, x0: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray,
         return r
 
     def backtrack(x, f, g, d):
-        """Armijo backtracking along the projected path x(t) = P(x - t d)."""
+        """Armijo backtracking along the projected path x(t) = P(x - t d).
+
+        On rejection the next trial is the safeguarded minimizer of the
+        quadratic through (f, f'(0), f_try) instead of a blind halving --
+        near convergence (the f64 polish regime) this typically lands in one
+        extra evaluation where halving took three or four."""
         def cond(carry):
             t, j, ok, *_ = carry
             return (~ok) & (j < ls_max)
@@ -103,13 +108,19 @@ def lbfgs_box(fun: Callable, x0: jnp.ndarray, lb: jnp.ndarray, ub: jnp.ndarray,
             x_try = _project(x - t * d, lb, ub)
             f_try, g_try, a_try = fun_a(x_try)
             step = x - x_try
-            armijo = f_try <= f - 1e-4 * jnp.dot(g, step)
+            slope = -jnp.dot(g, step)            # ~ t * f'(0) <= 0
+            armijo = f_try <= f + 1e-4 * slope
             ok_new = armijo & jnp.isfinite(f_try)
             xn = jnp.where(ok_new, x_try, xn)
             fn = jnp.where(ok_new, f_try, fn)
             gn = jnp.where(ok_new[None] if ok_new.ndim else ok_new, g_try, gn)
             an = jnp.where(ok_new, a_try, an)
-            return (t * 0.5, j + 1, ok_new, xn, fn, gn, an)
+            # quadratic-interpolation trial, safeguarded to [0.1 t, 0.5 t]
+            denom = 2.0 * (f_try - f - slope)
+            t_quad = -slope * t / jnp.where(denom > 0.0, denom, jnp.inf)
+            t_next = jnp.clip(jnp.where(jnp.isfinite(t_quad), t_quad,
+                                        0.5 * t), 0.1 * t, 0.5 * t)
+            return (t_next, j + 1, ok_new, xn, fn, gn, an)
 
         init = (jnp.asarray(1.0, dtype), 0, jnp.asarray(False), x, f, g,
                 jnp.zeros_like(a0))

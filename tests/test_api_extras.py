@@ -93,3 +93,23 @@ def test_eval_model_var_rescaled_frames():
         fdg = (gp.eval_model_var(xp, calc_grad=True)[1]
                - gp.eval_model_var(xm, calc_grad=True)[1]) / (2 * eps)
         np.testing.assert_allclose(d2var[:, :, k], fdg, rtol=1e-3, atol=1e-6)
+
+
+def test_plt_debug_lkd_contour(tmp_path):
+    """MLL 2-D contour debug hook: grid values finite where the fit lives,
+    png written (GpHparaOptz.plt_debug_lkd parity)."""
+    n = 10
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.5, 1.5, (n, 2))
+    f = np.sum(x ** 2, axis=1)
+    g = 2.0 * x
+    gp = GaussianProcess(2, True, "SqExp", "precon")
+    gp.init_optz_surr(2)
+    gp.set_data(x, f, np.zeros(n), g, np.zeros((n, 2)))
+    gp.set_hpara("optz", 0)
+    # d=2 problem: scan the two theta components (the reference's case)
+    out = tmp_path / "lkd.png"
+    lkd = gp.plt_debug_lkd(i_optz=0, dims=(0, 1), n_grid=6, path=str(out))
+    assert lkd.shape == (6, 6)
+    assert np.isfinite(lkd).any()
+    assert out.exists() and out.stat().st_size > 0

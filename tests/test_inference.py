@@ -13,6 +13,8 @@ from gpgradpy_tpu.inference import nuts, smc, vi
 from gpgradpy_tpu.model import conditioning
 from gpgradpy_tpu.parallel import mesh as pmesh
 
+pytestmark = pytest.mark.heavy  # compile-heavy; -m "not heavy" fast loop
+
 
 def _gauss_target(dim=2):
     cov = jnp.asarray([[1.0, 0.8], [0.8, 2.0]])

@@ -8,6 +8,8 @@ import pytest
 
 from gpgradpy_tpu.ops import iterative, kernels, linalg, rtensor
 
+pytestmark = pytest.mark.heavy  # compile-heavy; -m "not heavy" fast loop
+
 
 def _problem(n=40, dim=3, seed=0):
     rng = np.random.default_rng(seed)

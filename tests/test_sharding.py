@@ -6,7 +6,10 @@ SURVEY.md section 4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+pytestmark = pytest.mark.heavy  # compile-heavy; -m "not heavy" fast loop
 
 from gpgradpy_tpu import GpConfig, GpData, HpInfo, make_data_spec
 from gpgradpy_tpu.fit import multistart
@@ -179,9 +182,6 @@ def test_pm_layout_roundtrip():
         sm.pm_to_blocked_mat(sm.blocked_to_pm_mat(M, n, dim), n, dim), M)
     np.testing.assert_array_equal(
         sm.pm_to_blocked_mat(sm.blocked_to_pm_mat(v, n, dim), n, dim), v)
-
-
-import pytest
 
 
 @pytest.mark.slow
