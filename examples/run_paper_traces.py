@@ -64,24 +64,40 @@ def all_path(out_dir, dim, method):
     return os.path.join(out_dir, f"Rosen_a10_d{dim}_{method}_all.npz")
 
 
-def run_one(dim, method, j, n_iter, out_dir, seed0=0):
+def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default"):
+    """One (method, start) trace.  variant:
+    - 'default':   exploit cascade ON, local trust-region GP preconditioned
+                   for every method (disclosed design choice: the local
+                   solver is shared optimizer infrastructure; see STATUS.md)
+    - 'honest':    exploit cascade ON, local GP runs the NAMED conditioning
+                   end-to-end (per-method ablation)
+    - 'noexploit': cascade OFF — pure EI through the named method, the
+                   closest protocol to the reference's exploration-driven
+                   traces (shows the paper's method contrast directly)
+    """
     obj = partial(problems.rosenbrock, a=10.0)
     lb, ub = np.full(dim, -2.0), np.full(dim, 2.0)
     path = start_path(out_dir, dim, method, j)
+    kw = dict(exploit_frac=0.5, exploit_local=True, exploit_wellcond="precon")
+    if variant == "honest":
+        kw["exploit_wellcond"] = None
+    elif variant == "noexploit":
+        kw = dict(exploit_frac=0.0, exploit_local=False)
 
     def cb(partial_trace):
         np.savez(path, x_all=partial_trace.x_all,
                  merit_all=partial_trace.merit_all,
                  opt_all=partial_trace.opt_all,
                  fsb_all=partial_trace.fsb_all,
-                 time_iter=partial_trace.time_iter)
+                 time_iter=partial_trace.time_iter,
+                 variant=np.str_(variant))
 
     t0 = time.time()
     trace = loop.run_bo(
         obj, lb, ub, n_iter, n_init=dim + 2,
         wellcond_mtd=WELLCOND_BY_METHOD[method], acq="ei",
-        exploit_frac=0.5, exploit_local=True, seed=seed0 + j,
-        verbose=True, checkpoint_cb=cb, checkpoint_every=10)
+        seed=seed0 + j, verbose=True, checkpoint_cb=cb,
+        checkpoint_every=10, **kw)
     cb(trace)
     m = trace.merit_all[np.isfinite(trace.merit_all)]
     o = trace.opt_all[np.isfinite(trace.opt_all)]
@@ -157,6 +173,8 @@ def main():
     ap.add_argument("--out-dir", default="results_data/full_d5")
     ap.add_argument("--methods", nargs="+", default=METHODS)
     ap.add_argument("--worker", nargs=2, metavar=("METHOD", "START"))
+    ap.add_argument("--variant", default="default",
+                    choices=["default", "honest", "noexploit"])
     ap.add_argument("--merge", action="store_true")
     ap.add_argument("--summary", action="store_true")
     args = ap.parse_args()
@@ -165,7 +183,8 @@ def main():
     if args.worker:
         method, j = args.worker[0], int(args.worker[1])
         assert method in WELLCOND_BY_METHOD, method
-        run_one(args.dim, method, j, args.n_iter, args.out_dir)
+        run_one(args.dim, method, j, args.n_iter, args.out_dir,
+                variant=args.variant)
         return
     if args.merge:
         merge(args.dim, args.out_dir, args.n_x0, args.methods)

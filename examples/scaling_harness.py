@@ -155,6 +155,9 @@ def main():
         dt = time.perf_counter() - t0
         return args.starts / dt, dt
 
+    if not dev_counts:
+        sys.exit(f"no requested device count <= {n_avail} available "
+                 f"(requested {args.devices})")
     results = {"platform": platform, "virtual_mesh": bool(virtual),
                "n_devices_avail": n_avail,
                "total_chains": args.chains, "nuts_samples": args.samples,
@@ -164,15 +167,15 @@ def main():
         nuts_rate, nuts_dt = time_nuts(n_dev)
         fit_rate, fit_dt = time_fit(n_dev)
         if n_dev == dev_counts[0]:
-            base = {"nuts": nuts_rate * dev_counts[0],
-                    "fit": fit_rate * dev_counts[0]}
+            # PER-DEVICE baseline rate: eff(n) = rate(n) / (base * n) is then
+            # 1.0 at the first point regardless of whether it ran on 1 device
+            base = {"nuts": nuts_rate / dev_counts[0],
+                    "fit": fit_rate / dev_counts[0]}
         pt = {"n_devices": n_dev,
               "nuts_samples_per_s": round(nuts_rate, 1),
               "fit_starts_per_s": round(fit_rate, 2),
-              "nuts_eff": round(nuts_rate / (base["nuts"] / dev_counts[0]
-                                             * n_dev), 3),
-              "fit_eff": round(fit_rate / (base["fit"] / dev_counts[0]
-                                           * n_dev), 3)}
+              "nuts_eff": round(nuts_rate / (base["nuts"] * n_dev), 3),
+              "fit_eff": round(fit_rate / (base["fit"] * n_dev), 3)}
         results["points"].append(pt)
         print(f"[scaling] n_dev={n_dev}: NUTS {nuts_rate:.0f} samp/s "
               f"(eff {pt['nuts_eff']:.0%}), fit {fit_rate:.2f} starts/s "

@@ -27,7 +27,7 @@ from .fit.history import FitHistory
 from .model import conditioning, likelihood, predict, rescale
 from .ops import rtensor
 from .types import (DataSpec, GpData, HpInfo, Hypers, hp_vec_to_hypers,
-                    make_data_spec)
+                    hypers_to_hp_vec, make_data_spec)
 
 _CFG_FIELDS = {f.name for f in dataclasses.fields(GpConfig)}
 
@@ -527,7 +527,23 @@ class GaussianProcess:
         return fitter(cfg, self.spec, self.hp_info_optz_lkd, self.data,
                       self._eta_for_core(), history=self.history,
                       i_optz=i_optz, seed=self._fit_seed,
-                      x0_override=x0_override)
+                      x0_override=x0_override, hp_prev=self._prev_hp_vec())
+
+    def _prev_hp_vec(self):
+        """Previous round's converged hp as an optimization-space vector (or
+        None): joins the start-candidate pool of the next fit.  Guarded
+        against layout changes (e.g. the noise regime toggling which
+        hyperparameters are numeric) and non-finite leftovers."""
+        if self.hp_vals is None:
+            return None
+        try:
+            v = np.asarray(hypers_to_hp_vec(self.hp_info_optz_lkd,
+                                            self.hp_vals), float)
+        except (TypeError, ValueError):
+            return None
+        if v.size != self.hp_info_optz_lkd.n_hp or not np.all(np.isfinite(v)):
+            return None
+        return v
 
     def _polish_fit(self, fit, i_optz):
         """Warm single-start f64 re-fit at cfg.polish_cond_target.

@@ -217,7 +217,7 @@ def select_hp_x0(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
 def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
             eta_const: float, history=None, i_optz: int = 0,
             seed: int = 1, x0_override=None,
-            with_cond: bool = True) -> FitResult:
+            with_cond: bool = True, hp_prev=None) -> FitResult:
     """One full MAP hyperparameter fit: bounds -> starts -> vmapped L-BFGS ->
     best solution + final condition number (GpHparaOptz.optz_hp +
     OptzLkd.optz_hp_max_lkd semantics).  The device side runs as a single
@@ -225,7 +225,13 @@ def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
 
     x0_override (k, n_hp) replaces the LHS/hp_best start policy with the
     given starts — used by the rescale fixed-point loop to warm-start from
-    the previous best hp (OptzLkd.py:165-168)."""
+    the previous best hp (OptzLkd.py:165-168).
+
+    hp_prev, when given, joins the start-candidate pool (the previous BO
+    round's converged hp is the best-known start once the dataset has only
+    grown by one point; the hp_best argmax still prefers a better LHS
+    sample).  The pool is padded to a fixed n0+1 rows so the fused program
+    compiles once per shape bucket whether or not a previous hp exists."""
     # pin the optimization-space dtype to the config (under jax_enable_x64 a
     # bare asarray of the numpy starts would silently promote the whole fit
     # program to f64)
@@ -237,8 +243,18 @@ def fit_map(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     else:
         hp_best = cfg.lkd_optz_start_mtd == "hp_best"
         n0 = cfg.lkd_hp_best_n_eval if hp_best else cfg.optz_n_x0
-        x0_all = jnp.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub,
-                                            seed), dt)
+        x0_np = np.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub,
+                                          seed))
+        if hp_best:
+            extra = (np.clip(np.asarray(hp_prev, float).ravel(),
+                             bounds.box_lb, bounds.box_ub)
+                     if hp_prev is not None else x0_np[0])
+            x0_np = np.vstack([x0_np, extra[None, :]])
+        elif hp_prev is not None:
+            x0_np = np.vstack([x0_np, np.clip(
+                np.asarray(hp_prev, float).ravel(),
+                bounds.box_lb, bounds.box_ub)[None, :]])
+        x0_all = jnp.asarray(x0_np, dt)
 
     lb = jnp.asarray(bounds.box_lb, dt)
     ub = jnp.asarray(bounds.box_ub, dt)

@@ -12,7 +12,7 @@ vmapped-L-BFGS throughput of fit/multistart.py for constraint support.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -23,16 +23,19 @@ from scipy.optimize import Bounds, NonlinearConstraint, minimize
 from ..config import GpConfig
 from ..model import assembly, likelihood
 from ..types import DataSpec, GpData, HpInfo, hp_vec_to_hypers
-from .multistart import FitResult, HpBounds, get_hp_bounds, select_hp_x0
+from .multistart import (FitResult, HpBounds, _jit_batch_nll, get_hp_bounds,
+                         select_hp_x0)
 
 
-def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
-                    eta_const: float):
-    """Jitted (value, grad, cond, cond_grad) of the MLL at one hp vector,
-    with the reference's failure semantics (cond becomes the objective)."""
+@lru_cache(maxsize=256)
+def _jit_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo):
+    """Jitted (value, grad, ok) of the MLL and (cond, cond_grad) at one hp
+    vector.  Cached at module level on the hashable static config so repeated
+    fits (one per BO iteration) reuse the compiled programs; data/eta are
+    traced arguments."""
 
     @jax.jit
-    def lkd_val_grad(v):
+    def lkd_val_grad(v, data, eta_const):
         def f(v):
             hp = hp_vec_to_hypers(info, v)
             lkd = likelihood.calc_lkd(cfg, spec, data, hp, eta_const)
@@ -41,7 +44,7 @@ def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
         return val, g, ok
 
     @jax.jit
-    def cond_val_grad(v):
+    def cond_val_grad(v, data, eta_const):
         def c(v):
             hp = hp_vec_to_hypers(info, v)
             ops = assembly.assemble_keta(
@@ -49,6 +52,22 @@ def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
                 varK=hp.varK if spec.b_has_noisy_data else None)
             return assembly.calc_cond(ops, cfg.cond_norm)
         return jax.value_and_grad(c)(v)
+
+    return lkd_val_grad, cond_val_grad
+
+
+def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
+                    eta_const: float):
+    """Memoized scipy callbacks bound to one (data, eta) instance, backed by
+    the module-cached jitted programs (reference failure semantics: on
+    Cholesky failure the condition number becomes the objective)."""
+    _lkd_val_grad, _cond_val_grad = _jit_callbacks(cfg, spec, info)
+
+    def lkd_val_grad(v):
+        return _lkd_val_grad(v, data, eta_const)
+
+    def cond_val_grad(v):
+        return _cond_val_grad(v, data, eta_const)
 
     class Memo:
         """calc_store_likelihood memoization (OptzLkd.py:16-86): scipy calls
@@ -88,16 +107,50 @@ def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     return Memo()
 
 
+def _select_x0_w_prev(cfg: GpConfig, spec: DataSpec, info: HpInfo,
+                      data: GpData, eta_const: float, bounds: HpBounds,
+                      seed: int, hp_prev):
+    """Start selection with the previous round's optimized hp joined to the
+    candidate pool.
+
+    The reference's 'hp_best' policy starts SLSQP from the best-MLL point
+    among lkd_hp_best_n_eval LHS samples (GpHparaX0.py:33-59).  Inside a BO
+    loop the dataset grows by one point per round, so the previous round's
+    converged hp is an excellent candidate: including it in the argmax pool
+    preserves the policy's basin-escape behavior (an LHS sample that beats
+    the converged hp still wins) while typically halving the SLSQP iteration
+    count.  In 'lhs' multistart mode it is appended as one extra start."""
+    if hp_prev is None:
+        return select_hp_x0(cfg, spec, info, data, eta_const, bounds, seed)
+    hp_prev = np.clip(np.asarray(hp_prev, float).ravel(),
+                      bounds.box_lb, bounds.box_ub)
+    if cfg.lkd_optz_start_mtd == "lhs":
+        from . import lhs as _lhs
+        x0 = _lhs.lhs_sample(cfg.optz_n_x0, bounds.lhs_lb, bounds.lhs_ub,
+                             seed)
+        return np.vstack([x0, hp_prev[None, :]])
+    from . import lhs as _lhs
+    n0 = cfg.lkd_hp_best_n_eval
+    x0 = np.vstack([_lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub, seed),
+                    hp_prev[None, :]])
+    vals = _jit_batch_nll(cfg, spec, info)(jnp.asarray(x0), data, eta_const)
+    vals = np.array(vals, copy=True)
+    vals[~np.isfinite(vals)] = np.inf
+    return x0[int(np.argmin(vals))][None, :]
+
+
 def fit_map_scipy(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
                   eta_const: float, history=None, i_optz: int = 0,
-                  seed: int = 1, x0_override=None) -> FitResult:
+                  seed: int = 1, x0_override=None,
+                  hp_prev=None) -> FitResult:
     bounds = get_hp_bounds(cfg, info, history, i_optz)
     if x0_override is not None:
         # warm start from the rescale fixed-point loop (OptzLkd.py:165-168)
         x0_all = np.atleast_2d(np.asarray(x0_override, float))
     else:
-        x0_all = np.asarray(select_hp_x0(cfg, spec, info, data, eta_const,
-                                         bounds, seed))
+        x0_all = np.asarray(_select_x0_w_prev(cfg, spec, info, data,
+                                              eta_const, bounds, seed,
+                                              hp_prev))
     memo = _make_callbacks(cfg, spec, info, data, eta_const)
     use_cstr = cfg.b_use_cond_cstr
 

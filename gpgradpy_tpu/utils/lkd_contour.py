@@ -19,16 +19,19 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def lkd_grid(gp, dims=(0, 1), n_grid=10, base_hp_vec=None, bounds=None):
+def lkd_grid(gp, dims=(0, 1), n_grid=10, base_hp_vec=None, bounds=None,
+             i_optz=0):
     """Evaluate the negative MLL on an n_grid x n_grid log10-space grid over
     hp-vector components ``dims``; returns (vec_i, vec_j, lkd_val) with
     lkd_val[i, j] at (vec_j[j], vec_i[i]) (meshgrid 'xy' layout, like the
-    reference)."""
+    reference).  ``i_optz`` selects that optimization round's
+    history-dependent hp bounds (the window the reference's optz_bound
+    argument carries, GpHparaOptz.py:233-289)."""
     from ..fit import multistart
 
     cfg, spec, info = gp.cfg, gp.spec, gp.hp_info_optz_lkd
     if bounds is None:
-        b = multistart.get_hp_bounds(cfg, info, gp.history, 0)
+        b = multistart.get_hp_bounds(cfg, info, gp.history, i_optz)
         lb, ub = np.asarray(b.box_lb), np.asarray(b.box_ub)
     else:
         lb, ub = map(np.asarray, bounds)
@@ -69,10 +72,16 @@ def plt_debug_lkd(gp, i_optz=0, dims=(0, 1), n_grid=10, hp_x0=None,
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    vec_i, vec_j, lkd_val = lkd_grid(gp, dims, n_grid, base_hp_vec)
+    vec_i, vec_j, lkd_val = lkd_grid(gp, dims, n_grid, base_hp_vec,
+                                     i_optz=i_optz)
     finite = np.isfinite(lkd_val)
-    lo, hi = np.nanmin(lkd_val[finite]), np.nanmax(lkd_val[finite])
-    norm = (lkd_val - lo) / max(hi - lo, 1e-300)
+    if finite.any():
+        lo, hi = np.nanmin(lkd_val[finite]), np.nanmax(lkd_val[finite])
+        norm = (lkd_val - lo) / max(hi - lo, 1e-300)
+    else:
+        # whole grid non-finite (e.g. every Cholesky failed): still render
+        # the debug plot rather than crash exactly when it is most needed
+        norm = np.zeros_like(lkd_val)
 
     Xi, Xj = np.meshgrid(10.0 ** vec_i, 10.0 ** vec_j)
     fig, ax = plt.subplots(figsize=(4, 4))

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Round-3 BO trace campaign driver: runs (method, start) workers from a
+manifest, N at a time, each as its own process (crash isolation), logging to
+scratch/logs/.  Usage:
+
+  python scratch/run_campaign.py manifest.txt [n_parallel]
+
+Manifest lines: dim method start n_iter out_dir variant
+Lines whose per-start npz already exists AND has a finished marker row count
+(>= 0.55 * n_iter finite merits, or an early-stop NaN tail) are skipped, so
+the driver is resumable.
+"""
+
+import os
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOGDIR = os.path.join(REPO, "scratch", "logs")
+
+
+def is_done(out_dir, dim, method, j, n_iter):
+    p = os.path.join(REPO, out_dir, f"Rosen_a10_d{dim}_{method}_s{j}.npz")
+    if not os.path.isfile(p):
+        return False
+    try:
+        z = np.load(p, allow_pickle=True)
+        m = z["merit_all"]
+    except Exception:
+        return False
+    fin = np.isfinite(m)
+    if fin.all():
+        return True
+    # early-stopped runs leave a NaN tail; a finished run has its last
+    # finite entry well past the exploit-phase start
+    last = int(np.max(np.where(fin)[0])) if fin.any() else -1
+    return last >= 0.55 * (m.size - 1)
+
+
+def run_job(job):
+    dim, method, j, n_iter, out_dir, variant = job
+    if is_done(out_dir, dim, method, j, n_iter):
+        print(f"[skip] d{dim} {method} s{j} (done)", flush=True)
+        return 0
+    log = os.path.join(LOGDIR, f"r3_d{dim}_{method[0]}{j}_{variant}.log")
+    cmd = [sys.executable, os.path.join(REPO, "examples", "run_paper_traces.py"),
+           "--dim", str(dim), "--n-iter", str(n_iter), "--out-dir", out_dir,
+           "--variant", variant, "--worker", method, str(j)]
+    t0 = time.time()
+    print(f"[start] d{dim} {method} s{j} {variant} -> {log}", flush=True)
+    with open(log, "w") as fh:
+        r = subprocess.run(cmd, cwd=REPO, stdout=fh, stderr=subprocess.STDOUT)
+    print(f"[done rc={r.returncode}] d{dim} {method} s{j} {variant} "
+          f"in {time.time()-t0:.0f}s", flush=True)
+    return r.returncode
+
+
+def main():
+    manifest = sys.argv[1]
+    n_par = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    os.makedirs(LOGDIR, exist_ok=True)
+    jobs = []
+    with open(manifest) as fh:
+        for line in fh:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            dim, method, j, n_iter, out_dir, variant = line.split()
+            jobs.append((int(dim), method, int(j), int(n_iter), out_dir,
+                         variant))
+    print(f"{len(jobs)} jobs, {n_par} parallel", flush=True)
+    with ThreadPoolExecutor(max_workers=n_par) as ex:
+        rcs = list(ex.map(run_job, jobs))
+    bad = [j for j, rc in zip(jobs, rcs) if rc != 0]
+    for j in bad:
+        print(f"[FAILED] {j}", flush=True)
+    print(f"campaign finished: {len(jobs) - len(bad)}/{len(jobs)} ok",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
