@@ -176,7 +176,15 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
     two sizes (n_data = (dim+1)*n_pts = 4096 / 8192).  Latency-cancelling
     scheme (CLAUDE.md measurement caveat): time a jitted scan of R repeated
     assemblies for two chain lengths and difference them so the tunnel
-    round-trip drops out; theta varies per step to defeat CSE."""
+    round-trip drops out.
+
+    The assembled matrix IS the scan carry: each step must write the full
+    n_data^2 buffer (loop state), which forces HBM materialization -- a bare
+    sum(K[-1]) consumer lets XLA dead-code-eliminate all but one row of the
+    assembly (an earlier version measured an impossible 12 TB/s that way).
+    theta depends on the previous carry to serialize the steps, and all
+    scalars are pinned f32 (bench_ours enables x64; an f64-promoted carry
+    silently turns this into an f64 TPU program, which Pallas rejects)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -200,13 +208,16 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
                                                     block=128)
 
         def make_many(assemble):
+            K_init = jnp.zeros((n_data, n_data), jnp.float32)
+
             @partial(jax.jit, static_argnums=0)
             def many(reps):
-                def body(c, _):
-                    K = assemble(theta0 * (1.0 + 1e-6 * c))
-                    return c + 1.0, jnp.sum(K[-1])
-                _, outs = jax.lax.scan(body, 0.0, None, length=reps)
-                return jnp.sum(outs)
+                def body(K_prev, _):
+                    th = theta0 * (jnp.float32(1.0)
+                                   + jnp.float32(1e-9) * K_prev[0, 0])
+                    return assemble(th).astype(jnp.float32), ()
+                K_last, _ = jax.lax.scan(body, K_init, None, length=reps)
+                return jnp.sum(K_last)
             return many
 
         for name, assemble in (("xla", xla_assemble),
@@ -222,6 +233,7 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
                 per = max((min(t[R_HI]) - min(t[R_LO])) / (R_HI - R_LO),
                           1e-9)
                 out.append({"n_data": n_data, "impl": name,
+                            "ms_per_assembly": round(per * 1e3, 3),
                             "gb_per_s": round(nbytes / per / 1e9, 1)})
                 if verbose:
                     print(f"[assembly] n_data={n_data} {name:6s}: "

@@ -33,7 +33,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# --platform tpu runs the f64 trace math on the TPU backend (emulated f64;
+# cond_norm='fro' so no eigh program is ever built -- CLAUDE.md measurement
+# notes).  Parse the flag before configuring jax: the platform choice must
+# precede any jax usage.
+_PLATFORM = "cpu"
+if "--platform" in sys.argv:
+    _PLATFORM = sys.argv[sys.argv.index("--platform") + 1]
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
@@ -83,6 +91,13 @@ def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default"):
         kw["exploit_wellcond"] = None
     elif variant == "noexploit":
         kw = dict(exploit_frac=0.0, exploit_local=False)
+    if _PLATFORM == "tpu":
+        # coarse shape buckets (few expensive f64 TPU compiles, persistent
+        # cache shared across starts) and the Cholesky-based Frobenius
+        # condition number: cond_fro >= cond_2, so the cond <= 1e10
+        # constraint is CONSERVATIVE w.r.t. the reference's spectral norm
+        # (its own cheap option, GpHparaCon.py:237-261)
+        kw["gp_options"] = {"cond_norm": "fro", "pad_n_eval_multiple": 32}
 
     def cb(partial_trace):
         np.savez(path, x_all=partial_trace.x_all,
@@ -175,6 +190,7 @@ def main():
     ap.add_argument("--worker", nargs=2, metavar=("METHOD", "START"))
     ap.add_argument("--variant", default="default",
                     choices=["default", "honest", "noexploit"])
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--merge", action="store_true")
     ap.add_argument("--summary", action="store_true")
     args = ap.parse_args()

@@ -271,10 +271,12 @@ class GaussianProcess:
         self.bvec_use_grad = bvec_use_grad
 
         n_pad = 0
-        if (cfg.pad_n_eval_multiple > 1 and not cfg.b_use_data_scl
-                and cfg.solver != "iterative"):
+        if cfg.pad_n_eval_multiple > 1 and cfg.solver != "iterative":
             # the iterative path masks missing-gradient rows structurally but
-            # keeps shapes static via its own full layout -- no bucketing
+            # keeps shapes static via its own full layout -- no bucketing.
+            # Rescaled frames pad fine: _refresh_core_data pads AFTER the
+            # frame transform and the assembly masks the padded rows, so the
+            # vreq/vmin computations (which use the unpadded x) are unchanged
             n_pad = (-n_eval) % cfg.pad_n_eval_multiple
         self.spec = make_data_spec(cfg.dim, cfg.use_grad, n_eval,
                                    std_fval=self._std_fval_in,

@@ -130,7 +130,8 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
                            kernel_type: str, n_local: int, dtype: str,
                            state: dict, newton_steps: int = 8,
                            debug: dict = None,
-                           wellcond_mtd: str = "precon"):
+                           wellcond_mtd: str = "precon",
+                           gp_opts: Optional[dict] = None):
     """Surrogate trust-region exploitation.
 
     Fits a FRESH local gradient-enhanced GP on the n_local points nearest
@@ -188,7 +189,8 @@ def _propose_local_exploit(x_data, f_data, g_data, lb, ub,
 
     # the local GP runs the SAME conditioning method as the global surrogate
     # so a method-labelled trace uses its named conditioning end-to-end
-    gp = GaussianProcess(dim, True, kernel_type, wellcond_mtd, dtype=dtype)
+    gp = GaussianProcess(dim, True, kernel_type, wellcond_mtd, dtype=dtype,
+                         **(gp_opts or {}))
     gp.set_data(xs_loc, fs, np.zeros(len(idx)), gs_loc,
                 np.zeros((len(idx), dim)))
     gp.init_optz_surr(1)
@@ -352,13 +354,19 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
             # scale within a few evals (a 2(d+1) cluster needs ~12 new
             # points per contraction generation and crawls).
             n_loc = max(4, (dim + 3) // 2 + 2)
+            # carry the numerics-relevant options (cond_norm: on-TPU f64
+            # runs must avoid eigh programs, CLAUDE.md) but not the shape
+            # bucketing (the local cluster has its own fixed size)
+            local_opts = {k: v for k, v in (gp_options or {}).items()
+                          if k in ("cond_norm",)}
             x_new = _propose_local_exploit(
                 x_data, f_data, g_data, lb, ub, kernel_type,
                 n_local=min(x_data.shape[0], n_loc),
                 dtype=(gp_options or {}).get("dtype", "float64"),
                 state=exploit_state, debug=dbg,
                 wellcond_mtd=(wellcond_mtd if exploit_wellcond is None
-                              else exploit_wellcond))
+                              else exploit_wellcond),
+                gp_opts=local_opts)
         else:
             acq_i = "mu" if in_exploit else acq
             x_new = propose_next(gp, lb, ub, fbest, acq=acq_i, beta=beta,

@@ -30,6 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 _SQRT5 = 5.0 ** 0.5
 
 
+def _i32(v):
+    """Pin block-index arithmetic to i32: under jax_enable_x64 the Python
+    ints in an index_map promote the returned indices to i64, which the TPU
+    Mosaic compiler rejects (func.return (i64, i64))."""
+    return jnp.asarray(v, jnp.int32)
+
+
 def _phi_tile(kernel_type: str, W, alpha):
     """phi, phi', phi'' as functions of the weighted squared distance."""
     if kernel_type == "SqExp":
@@ -109,6 +116,19 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _auto_block(n1: int, n2: int) -> int:
+    """Largest tile that keeps padding waste modest.  Measured on a v5e
+    (latency-cancelled, n_data=8192): block 128 -> 157 GB/s, 256 -> 322,
+    512 -> 384 (1024 exceeds VMEM); XLA dense is 133 GB/s there, so the big
+    tiles are where the Pallas win lives."""
+    m = min(n1, n2)
+    if m >= 1024:
+        return 512
+    if m >= 512:
+        return 256
+    return 128
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_type", "dim", "block"))
 def _kern_grad_pallas_padded(kernel_type, dim, block, x1p, x2p, theta, alpha):
     """x1p/x2p already padded to multiples of ``block`` rows."""
@@ -126,17 +146,19 @@ def _kern_grad_pallas_padded(kernel_type, dim, block, x1p, x2p, theta, alpha):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, dpad), lambda i, j, a, b: (0, 0),
+            pl.BlockSpec((1, dpad), lambda i, j, a, b: (_i32(0), _i32(0)),
                          memory_space=pltpu.SMEM),            # theta
-            pl.BlockSpec((1, 1), lambda i, j, a, b: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j, a, b: (_i32(0), _i32(0)),
                          memory_space=pltpu.SMEM),            # alpha
-            pl.BlockSpec((block, dpad), lambda i, j, a, b: (i, 0),
+            pl.BlockSpec((block, dpad), lambda i, j, a, b: (_i32(i), _i32(0)),
                          memory_space=pltpu.VMEM),            # x1 tile
-            pl.BlockSpec((block, dpad), lambda i, j, a, b: (j, 0),
+            pl.BlockSpec((block, dpad), lambda i, j, a, b: (_i32(j), _i32(0)),
                          memory_space=pltpu.VMEM),            # x2 tile
         ],
         out_specs=pl.BlockSpec(
-            (block, block), lambda i, j, a, b: (a * nb1 + i, b * nb2 + j),
+            (block, block),
+            lambda i, j, a, b: (_i32(a) * _i32(nb1) + _i32(i),
+                                _i32(b) * _i32(nb2) + _i32(j)),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A * n1, A * n2), dtype),
         scratch_shapes=[
@@ -153,7 +175,7 @@ def _kern_grad_pallas_padded(kernel_type, dim, block, x1p, x2p, theta, alpha):
 
 
 def kern_grad_pallas(kernel_type: str, x1: jnp.ndarray, x2: jnp.ndarray,
-                     theta: jnp.ndarray, alpha=None, block: int = 128):
+                     theta: jnp.ndarray, alpha=None, block: int = None):
     """Gradient-enhanced kernel matrix ((1+d)n1, (1+d)n2) via the Pallas
     tiled assembly.  Pads the point count up to ``block`` and slices the
     result back; derivative blocks are laid out exactly as kernels.kern_grad
@@ -161,6 +183,8 @@ def kern_grad_pallas(kernel_type: str, x1: jnp.ndarray, x2: jnp.ndarray,
     n1, dim = x1.shape
     n2 = x2.shape[0]
     dtype = x1.dtype
+    if block is None:
+        block = _auto_block(n1, n2)
     n1p = _round_up(n1, block)
     n2p = _round_up(n2, block)
     # pad points far away so padded entries are harmless (sliced off anyway)
@@ -314,19 +338,20 @@ def _kern_vjp_theta_padded(kernel_type, dim, block, x1p, x2p, theta, alpha,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, dpad), lambda i, j, a, b: (0, 0),
+            pl.BlockSpec((1, dpad), lambda i, j, a, b: (_i32(0), _i32(0)),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j, a, b: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j, a, b: (_i32(0), _i32(0)),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, dpad), lambda i, j, a, b: (i, 0),
+            pl.BlockSpec((block, dpad), lambda i, j, a, b: (_i32(i), _i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, dpad), lambda i, j, a, b: (j, 0),
+            pl.BlockSpec((block, dpad), lambda i, j, a, b: (_i32(j), _i32(0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, block),
-                         lambda i, j, a, b: (a * nb1 + i, b * nb2 + j),
+                         lambda i, j, a, b: (_i32(a) * _i32(nb1) + _i32(i),
+                                             _i32(b) * _i32(nb2) + _i32(j)),
                          memory_space=pltpu.VMEM),                # Gbar tile
         ],
-        out_specs=pl.BlockSpec((1, dpad), lambda i, j, a, b: (0, 0),
+        out_specs=pl.BlockSpec((1, dpad), lambda i, j, a, b: (_i32(0), _i32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, dpad), dtype),
         scratch_shapes=[
@@ -345,7 +370,7 @@ def _kern_vjp_theta_padded(kernel_type, dim, block, x1p, x2p, theta, alpha,
 
 def kern_grad_pallas_vjp_theta(kernel_type: str, x1: jnp.ndarray,
                                x2: jnp.ndarray, theta: jnp.ndarray, alpha,
-                               gbar: jnp.ndarray, block: int = 128):
+                               gbar: jnp.ndarray, block: int = None):
     """theta-cotangent of ``kern_grad_pallas``: contracts the covariance
     cotangent ``gbar`` ((1+d)n1, (1+d)n2) against dK/dtheta tile-by-tile --
     dK is never materialized (the XLA closed-form VJP builds the full
@@ -353,6 +378,8 @@ def kern_grad_pallas_vjp_theta(kernel_type: str, x1: jnp.ndarray,
     n1, dim = x1.shape
     n2 = x2.shape[0]
     dtype = x1.dtype
+    if block is None:
+        block = _auto_block(n1, n2)
     n1p = _round_up(n1, block)
     n2p = _round_up(n2, block)
     x1p = jnp.pad(x1, ((0, n1p - n1), (0, 0)), constant_values=1e6)

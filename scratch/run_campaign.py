@@ -49,7 +49,8 @@ def run_job(job):
     log = os.path.join(LOGDIR, f"r3_d{dim}_{method[0]}{j}_{variant}.log")
     cmd = [sys.executable, os.path.join(REPO, "examples", "run_paper_traces.py"),
            "--dim", str(dim), "--n-iter", str(n_iter), "--out-dir", out_dir,
-           "--variant", variant, "--worker", method, str(j)]
+           "--variant", variant, "--platform", PLATFORM,
+           "--worker", method, str(j)]
     t0 = time.time()
     print(f"[start] d{dim} {method} s{j} {variant} -> {log}", flush=True)
     with open(log, "w") as fh:
@@ -59,9 +60,18 @@ def run_job(job):
     return r.returncode
 
 
+PLATFORM = "cpu"
+
+
 def main():
-    manifest = sys.argv[1]
-    n_par = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    global PLATFORM
+    args = [a for a in sys.argv[1:]]
+    if "--platform" in args:
+        i = args.index("--platform")
+        PLATFORM = args[i + 1]
+        del args[i:i + 2]
+    manifest = args[0]
+    n_par = int(args[1]) if len(args) > 1 else 2
     os.makedirs(LOGDIR, exist_ok=True)
     jobs = []
     with open(manifest) as fh:

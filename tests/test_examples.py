@@ -47,6 +47,20 @@ def test_plt_acq():
     os.remove(os.path.join(REPO, "plt_acq.png"))
 
 
+@pytest.mark.slow
+def test_plt_cond():
+    out = _run_example("plt_cond.py", timeout=600)
+    assert "saved" in out
+    os.remove(os.path.join(REPO, "plt_cond.png"))
+
+
+@pytest.mark.slow
+def test_plt_nugget_1d():
+    out = _run_example("plt_nugget_1d.py", timeout=600)
+    assert "saved" in out
+    os.remove(os.path.join(REPO, "plt_nugget_1d.png"))
+
+
 def test_results_loader_reads_reference_traces():
     """Our PltOptzResults must load the reference's bundled paper npz files
     and reproduce the BASELINE.md summary numbers."""
