@@ -72,7 +72,8 @@ def all_path(out_dir, dim, method):
     return os.path.join(out_dir, f"Rosen_a10_d{dim}_{method}_all.npz")
 
 
-def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default"):
+def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default",
+            cond_norm=None):
     """One (method, start) trace.  variant:
     - 'default':   exploit cascade ON, local trust-region GP preconditioned
                    for every method (disclosed design choice: the local
@@ -93,11 +94,19 @@ def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default"):
         kw = dict(exploit_frac=0.0, exploit_local=False)
     if _PLATFORM == "tpu":
         # coarse shape buckets (few expensive f64 TPU compiles, persistent
-        # cache shared across starts) and the Cholesky-based Frobenius
-        # condition number: cond_fro >= cond_2, so the cond <= 1e10
-        # constraint is CONSERVATIVE w.r.t. the reference's spectral norm
-        # (its own cheap option, GpHparaCon.py:237-261)
-        kw["gp_options"] = {"cond_norm": "fro", "pad_n_eval_multiple": 32}
+        # cache shared across starts).  NOTE: measured (round 3) the f64
+        # emulation makes the sequential L-BFGS fit ~10-50x SLOWER than the
+        # 2-core CPU at trace sizes -- keep trace campaigns on --platform
+        # cpu; this mode exists for experimentation only.
+        kw.setdefault("gp_options", {})["pad_n_eval_multiple"] = 32
+        cond_norm = cond_norm or "fro"
+    if cond_norm:
+        # 'fro' = the Cholesky-based Frobenius condition number (the
+        # reference's own cheap option, GpHparaCon.py:237-261): at d=10+
+        # the spectral (eigh) cond costs seconds per SLSQP evaluation.
+        # cond_fro >= cond_2, so the cond <= 1e10 constraint is
+        # CONSERVATIVE w.r.t. the reference's spectral norm.
+        kw.setdefault("gp_options", {})["cond_norm"] = cond_norm
 
     def cb(partial_trace):
         np.savez(path, x_all=partial_trace.x_all,
@@ -191,6 +200,8 @@ def main():
     ap.add_argument("--variant", default="default",
                     choices=["default", "honest", "noexploit"])
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--cond-norm", default=None,
+                    help="override GpConfig.cond_norm (e.g. 'fro' for d>=10)")
     ap.add_argument("--merge", action="store_true")
     ap.add_argument("--summary", action="store_true")
     args = ap.parse_args()
@@ -200,7 +211,7 @@ def main():
         method, j = args.worker[0], int(args.worker[1])
         assert method in WELLCOND_BY_METHOD, method
         run_one(args.dim, method, j, args.n_iter, args.out_dir,
-                variant=args.variant)
+                variant=args.variant, cond_norm=args.cond_norm)
         return
     if args.merge:
         merge(args.dim, args.out_dir, args.n_x0, args.methods)

@@ -49,7 +49,7 @@ def run_job(job):
     log = os.path.join(LOGDIR, f"r3_d{dim}_{method[0]}{j}_{variant}.log")
     cmd = [sys.executable, os.path.join(REPO, "examples", "run_paper_traces.py"),
            "--dim", str(dim), "--n-iter", str(n_iter), "--out-dir", out_dir,
-           "--variant", variant, "--platform", PLATFORM,
+           "--variant", variant, "--platform", PLATFORM, *EXTRA,
            "--worker", method, str(j)]
     t0 = time.time()
     print(f"[start] d{dim} {method} s{j} {variant} -> {log}", flush=True)
@@ -61,6 +61,7 @@ def run_job(job):
 
 
 PLATFORM = "cpu"
+EXTRA = []
 
 
 def main():
@@ -69,6 +70,10 @@ def main():
     if "--platform" in args:
         i = args.index("--platform")
         PLATFORM = args[i + 1]
+        del args[i:i + 2]
+    if "--cond-norm" in args:
+        i = args.index("--cond-norm")
+        EXTRA.extend(["--cond-norm", args[i + 1]])
         del args[i:i + 2]
     manifest = args[0]
     n_par = int(args[1]) if len(args) > 1 else 2
