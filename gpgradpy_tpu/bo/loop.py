@@ -297,9 +297,11 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
         g_data = g_data + noise_std * rng.standard_normal(g_data.shape)
 
     gp_options = dict(gp_options or {})
-    if wellcond_mtd == "precon" or wellcond_mtd == "base":
-        # shape bucketing: one compiled program per bucket of 8 dataset sizes
-        gp_options.setdefault("pad_n_eval_multiple", 8)
+    # shape bucketing: one compiled program per bucket of 8 dataset sizes.
+    # Rescaling frames bucket too — padding happens AFTER the frame
+    # transform and the frame depends only on the unpadded x_eval
+    # (tests/test_padding.py::test_padded_rescale_frame)
+    gp_options.setdefault("pad_n_eval_multiple", 8)
     gp = GaussianProcess(dim, use_grad, kernel_type, wellcond_mtd,
                          **gp_options)
     gp.init_optz_surr(n_iter + 1)

@@ -113,3 +113,54 @@ def test_padded_facade_fit_and_predict():
     assert gp1.spec.n_eval_tot == 8
     gp1.set_hpara("optz", 1)
     assert np.isfinite(gp1.history.ln_lkd[1])
+
+
+@pytest.mark.parametrize("wellcond", ["rescale_origin", "dflt_vmin"])
+def test_padded_rescale_frame(wellcond):
+    """Shape bucketing through a rescaling frame: padding is applied AFTER
+    the frame transform (api._refresh_core_data), so at the SAME
+    hyperparameters the padded facade must reproduce the unpadded MLL and
+    predictions (the frame itself depends only on the unpadded x_eval).
+    This is the contract behind bucketing the BO rescale-method traces."""
+    n = 6
+    rng = np.random.default_rng(2)
+    x = rng.uniform(-1, 1, (n, 2))
+    f = np.sum(x ** 2, 1)
+    g = 2 * x
+    xq = rng.uniform(-0.5, 0.5, (4, 2))
+
+    gps = []
+    for pad in (1, 8):
+        gp = GaussianProcess(2, True, "SqExp", wellcond,
+                             pad_n_eval_multiple=pad)
+        gp.init_optz_surr(2)
+        gp.set_data(x, f, np.zeros(n), g, np.zeros((n, 2)))
+        gps.append(gp)
+    gp0, gp1 = gps
+    assert gp1.spec.n_pad_eval == 2
+    # identical frames: the rescale transform must ignore the padding
+    np.testing.assert_allclose(np.asarray(gp0.DataScl.xvec_scale),
+                               np.asarray(gp1.DataScl.xvec_scale), rtol=0)
+
+    hp = gp0.make_hp_class(theta=np.asarray([0.9, 1.4]))
+    lkd0, _ = gp0.calc_lkd_all(hp, calc_cond=True)
+    lkd1, _ = gp1.calc_lkd_all(hp, calc_cond=True)
+    np.testing.assert_allclose(float(lkd0.ln_lkd), float(lkd1.ln_lkd),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(lkd0.beta), np.asarray(lkd1.beta),
+                               rtol=1e-9)
+    # padded rows add (1+eta) eigenvalues INSIDE the spectrum: spectral cond
+    # is unchanged up to round-off
+    np.testing.assert_allclose(float(lkd0.cond), float(lkd1.cond), rtol=1e-6)
+
+    for gp in gps:
+        gp.set_custom_hp(theta=np.asarray([0.9, 1.4]))
+        gp.set_hpara("current", 0)
+    mu0, sig0, *_ = gp0.eval_model(xq)
+    mu1, sig1, *_ = gp1.eval_model(xq)
+    np.testing.assert_allclose(mu0, mu1, rtol=1e-6)
+    np.testing.assert_allclose(sig0, sig1, rtol=1e-4, atol=1e-12)
+
+    # the padded facade also runs the full rescale fixed-point fit loop
+    gp1.set_hpara("optz", 1)
+    assert np.isfinite(gp1.history.ln_lkd[1])
