@@ -204,8 +204,8 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
             return kernels.kern_mat("SqExp", R, th, None, use_grad=True)
 
         def pallas_assemble(th):
-            return pallas_assembly.kern_grad_pallas("SqExp", x, x, th,
-                                                    block=128)
+            # block=None -> production _auto_block (512 at these sizes)
+            return pallas_assembly.kern_grad_pallas("SqExp", x, x, th)
 
         def make_many(assemble):
             K_init = jnp.zeros((n_data, n_data), jnp.float32)
@@ -224,14 +224,33 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
                                ("pallas", pallas_assemble)):
             many = make_many(assemble)
             try:
+                # pilot: estimate per-step cost, then size the chain so the
+                # DIFFERENCED work is >> the ~15-60 ms tunnel noise floor
+                # (fixed small reps at n_data=4096 once measured an
+                # impossible 1.7 TB/s -- pure timing noise)
                 float(many(R_LO)); float(many(R_HI))
+                t0 = time.time(); float(many(R_HI))
+                per0 = max((time.time() - t0) / R_HI, 1e-6)
+                r_hi = R_LO + int(min(max(0.25 / per0, 32), 512))
+                float(many(r_hi))  # compile the long chain
                 t = {}
-                for reps in (R_LO, R_HI, R_LO, R_HI):
+                for reps in (R_LO, r_hi, R_LO, r_hi):
                     t0 = time.time()
                     float(many(reps))
                     t.setdefault(reps, []).append(time.time() - t0)
-                per = max((min(t[R_HI]) - min(t[R_LO])) / (R_HI - R_LO),
-                          1e-9)
+                diff = min(t[r_hi]) - min(t[R_LO])
+                per = max(diff / (r_hi - R_LO), 1e-9)
+                if diff < 5e-3:
+                    # differenced work below the tunnel noise floor: the
+                    # assembly is too cheap to time through the relay
+                    out.append({"n_data": n_data, "impl": name,
+                                "ms_per_assembly": None, "gb_per_s": None,
+                                "note": "below tunnel noise floor"})
+                    if verbose:
+                        print(f"[assembly] n_data={n_data} {name:6s}: below "
+                              f"noise floor ({diff*1e3:.2f} ms diff)",
+                              file=sys.stderr)
+                    continue
                 out.append({"n_data": n_data, "impl": name,
                             "ms_per_assembly": round(per * 1e3, 3),
                             "gb_per_s": round(nbytes / per / 1e9, 1)})
@@ -379,7 +398,15 @@ def main():
            "rmse_ours": round(rmse_ours, 6),
            "rmse_ref": round(rmse_ref, 6) if np.isfinite(rmse_ref) else None,
            "quality_ok": bool(quality_ok),
-           "platform": platform}
+           "platform": platform,
+           # honesty caveats for vs_baseline: the reference runs with its
+           # numba JIT stubbed out (numba is not installable in this image,
+           # tests/ref_shim.py), so t_ref overstates what the reference
+           # achieves in its own environment; and t_ref is host-dependent
+           # (single-core speed).  load1 records this host's 1-min load
+           # average at measurement time so contention is visible.
+           "t_ref_numba_stubbed": True,
+           "load1": round(os.getloadavg()[0], 1)}
     rec.update(extras)
     print(json.dumps(rec))
 

@@ -117,8 +117,9 @@ class GpConfig:
                                           # TPU training paths (f32, full grad
                                           # set; ignored on CPU / f64 / partial
                                           # gradients -- see assembly.calc_kern).
-                                          # Measured v5e, n_data=8192: 384 GB/s
-                                          # vs 133 GB/s XLA dense
+                                          # Measured v5e (auto tile): n_data=
+                                          # 4096 395-867 GB/s vs 199-254 XLA;
+                                          # 8192 364 vs 125; engages n>=4096
     pad_n_eval_multiple: int = 0          # shape bucketing: pad n_eval up to a
                                           # multiple so growing datasets (BO)
                                           # reuse one compiled program

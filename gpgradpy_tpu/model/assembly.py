@@ -114,14 +114,14 @@ def calc_kern(cfg: GpConfig, spec: DataSpec, x: jnp.ndarray, hp: Hypers):
     With ``cfg.use_pallas`` (TPU, full gradient set) the tiled Pallas
     assembly produces the matrix with a single HBM write; otherwise the
     vectorized XLA closed forms.  The Pallas path only engages where it
-    measurably wins (n_data >= 8192 on a v5e: 176-384 GB/s vs 133 GB/s XLA
-    dense with big tiles; below that XLA's fused dense assembly is as fast
-    or faster and the extra Mosaic compile through the remote tunnel is pure
-    overhead)."""
+    measurably wins (v5e, latency-cancelled, auto tile: n_data=4096
+    395-867 GB/s vs 199-254 XLA; n_data=8192 364 vs 125; at n_data<=2048
+    XLA's fused dense assembly is as fast or faster and the extra Mosaic
+    compile through the remote tunnel is pure overhead)."""
     idx = spec.idx_grad_arr
     n_data_full = x.shape[0] * (spec.dim + 1)
     if (cfg.use_pallas and cfg.use_grad and idx is None
-            and n_data_full >= 8192
+            and n_data_full >= 4096
             and x.dtype != jnp.float64
             and jax.default_backend() != "cpu"):
         alpha = hp.kernel if hp.kernel is not None else jnp.asarray(0.0, x.dtype)
