@@ -108,21 +108,43 @@ def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default",
         # CONSERVATIVE w.r.t. the reference's spectral norm.
         kw.setdefault("gp_options", {})["cond_norm"] = cond_norm
 
-    def cb(partial_trace):
+    def cb(partial_trace, completed=False):
         np.savez(path, x_all=partial_trace.x_all,
                  merit_all=partial_trace.merit_all,
                  opt_all=partial_trace.opt_all,
                  fsb_all=partial_trace.fsb_all,
                  time_iter=partial_trace.time_iter,
-                 variant=np.str_(variant))
+                 variant=np.str_(variant),
+                 completed=np.bool_(completed))
+
+    # resume from a partial checkpoint (a worker killed mid-run, e.g. by a
+    # round boundary): replay the recorded prefix instead of re-running it
+    resume = None
+    if os.path.isfile(path):
+        try:
+            z = np.load(path, allow_pickle=True)
+            if "completed" in z and bool(z["completed"]):
+                print(f"[{method} start {j}] already completed; skipping")
+                return
+            if z["merit_all"].size == dim + 2 + n_iter:
+                resume = loop.BoTrace(
+                    x_all=z["x_all"], merit_all=z["merit_all"],
+                    opt_all=z["opt_all"], fsb_all=z["fsb_all"],
+                    time_iter=z["time_iter"])
+                n_fin = int(np.isfinite(z["merit_all"]).sum())
+                print(f"[{method} start {j}] resuming from checkpoint "
+                      f"({n_fin} evaluations recorded)")
+        except Exception as e:
+            print(f"[{method} start {j}] checkpoint unreadable ({e}); "
+                  f"starting fresh")
 
     t0 = time.time()
     trace = loop.run_bo(
         obj, lb, ub, n_iter, n_init=dim + 2,
         wellcond_mtd=WELLCOND_BY_METHOD[method], acq="ei",
         seed=seed0 + j, verbose=True, checkpoint_cb=cb,
-        checkpoint_every=10, **kw)
-    cb(trace)
+        checkpoint_every=10, resume_trace=resume, **kw)
+    cb(trace, completed=True)
     m = trace.merit_all[np.isfinite(trace.merit_all)]
     o = trace.opt_all[np.isfinite(trace.opt_all)]
     print(f"[{method} start {j}] done in {time.time()-t0:.0f}s: "

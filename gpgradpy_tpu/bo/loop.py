@@ -268,7 +268,8 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
            gp_options: Optional[dict] = None, verbose: bool = False,
            checkpoint_cb: Optional[Callable] = None,
            checkpoint_every: int = 10,
-           exploit_wellcond: Optional[str] = "precon") -> BoTrace:
+           exploit_wellcond: Optional[str] = "precon",
+           resume_trace: Optional[BoTrace] = None) -> BoTrace:
     """One BO run.  ``obj_fun(x) -> (f, grad)`` with x of shape (m, dim).
 
     Per iteration: GP.set_data -> set_hpara('optz', i) -> propose_next ->
@@ -284,7 +285,16 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
     surrogate's interpolation accuracy, and the preconditioned local GP is
     ~10-100x more accurate on the tight collinear clusters the cascade
     produces (the papers' own result).  Pass exploit_wellcond=None to run
-    the named method end-to-end instead (honest per-method ablation)."""
+    the named method end-to-end instead (honest per-method ablation).
+
+    ``resume_trace``: a partial BoTrace (e.g. a periodic checkpoint) whose
+    finite-merit prefix is replayed instead of re-run: the recorded points
+    are re-evaluated through ``obj_fun`` (noise-free objectives only — the
+    truth must be deterministic) and the loop continues from the first
+    un-run iteration.  The exploit trust-region state and the proposal rng
+    streams restart at the resume point, so a resumed run is a valid
+    trajectory of the same algorithm but not bit-identical to an
+    uninterrupted one."""
     lb = np.asarray(lb, float)
     ub = np.asarray(ub, float)
     dim = lb.size if dim is None else dim
@@ -320,11 +330,38 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
     std_g = (np.full((n_init, dim), noise_std) if noise_std > 0
              else np.zeros((n_init, dim)))
 
+    i_start = 0
+    if resume_trace is not None:
+        assert noise_std == 0, \
+            "resume_trace needs a deterministic (noise-free) objective"
+        m_prev = np.asarray(resume_trace.merit_all, float)
+        fin = np.isfinite(m_prev)
+        n_done = int(fin.sum())
+        assert fin[:n_done].all(), \
+            "resume_trace: finite-merit prefix is not contiguous"
+        if n_done > n_init and m_prev.size == n_total:
+            x_prev = np.asarray(resume_trace.x_all, float)[:n_done]
+            f_prev, g_prev = obj_fun(x_prev)
+            if not np.allclose(f_prev, m_prev[:n_done], rtol=1e-10,
+                               atol=1e-300):
+                raise ValueError(
+                    "resume_trace merits do not match obj_fun at the "
+                    "recorded points -- wrong objective or noisy truth")
+            x_data, f_data, g_data = x_prev, f_prev, g_prev
+            x_all[:n_done] = x_prev
+            merit[:n_done] = m_prev[:n_done]
+            opt[:n_done] = np.asarray(resume_trace.opt_all)[:n_done]
+            fsb[:n_done] = np.asarray(resume_trace.fsb_all)[:n_done]
+            t_iter[:n_done] = np.asarray(resume_trace.time_iter)[:n_done]
+            std_f = np.zeros(n_done)
+            std_g = np.zeros((n_done, dim))
+            i_start = n_done - n_init
+
     prev_bucket = None
     exploit_state = {}
     diam = float(np.linalg.norm(ub - lb))
     rng_tr = np.random.default_rng(seed + 424243)
-    for i in range(n_iter):
+    for i in range(i_start, n_iter):
         t0 = time.time()
         fbest = float(np.min(f_data))
         # final exploitation phase: switch to minimizing the posterior mean

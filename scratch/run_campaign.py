@@ -29,16 +29,23 @@ def is_done(out_dir, dim, method, j, n_iter):
         return False
     try:
         z = np.load(p, allow_pickle=True)
+        if "completed" in z:
+            # new-format files carry an explicit marker; incomplete ones are
+            # resumed from their checkpoint by run_one, so never skip them
+            return bool(z["completed"])
         m = z["merit_all"]
     except Exception:
         return False
     fin = np.isfinite(m)
     if fin.all():
         return True
-    # early-stopped runs leave a NaN tail; a finished run has its last
-    # finite entry well past the exploit-phase start
+    # legacy files (no marker): a NaN tail is either the exploit cascade's
+    # machine-precision early stop (deep merit, most of the budget spent)
+    # or a killed worker.  Killed runs are resumable now, so only the
+    # former counts as done.
     last = int(np.max(np.where(fin)[0])) if fin.any() else -1
-    return last >= 0.55 * (m.size - 1)
+    return (last >= 0.55 * (m.size - 1)
+            and float(np.nanmin(m)) < 1e-20)
 
 
 def run_job(job):
