@@ -145,7 +145,11 @@ def nuts_step(logp_and_grad: Callable, state: NutsState,
             z, r, grad, logp = _leapfrog(logp_and_grad, inv_mass,
                                          direction * step, z, r, grad)
             energy = -logp + _kinetic(inv_mass, r)
-            delta = energy - energy0
+            # pin the scalar bookkeeping to the state dtype: a log-density
+            # that returns f64 under jax_enable_x64 (e.g. f64 data with f32
+            # chain state) would otherwise promote the while_loop carry and
+            # break its type invariant
+            delta = (energy - energy0).astype(z.dtype)
             div_new = (~jnp.isfinite(energy)) | (delta > _DELTA_MAX)
             log_w_leaf = jnp.where(div_new, -jnp.inf, -delta)
             accept = jnp.minimum(1.0, jnp.exp(-delta))

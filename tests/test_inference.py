@@ -41,6 +41,21 @@ def test_nuts_recovers_gaussian():
     assert 0.6 < float(np.mean(diag["accept_prob"])) <= 1.0
 
 
+def test_nuts_f32_state_f64_logp():
+    """f32 chain state with a log-density that returns f64 (the TPU bench
+    configuration inside an x64 process): the tree-builder must pin its
+    scalar bookkeeping to the state dtype or the while_loop carry breaks
+    (bench.py --nuts regression)."""
+    def logp(z):
+        return -0.5 * jnp.sum(z.astype(jnp.float64) ** 2)
+
+    z0 = jnp.zeros(3, jnp.float32)
+    zs, diag = nuts.run_nuts(logp, z0, jax.random.PRNGKey(0), n_warmup=32,
+                             n_samples=32, max_depth=4)
+    assert np.all(np.isfinite(np.asarray(zs)))
+    assert float(np.mean(diag["diverging"])) < 0.5
+
+
 def test_nuts_gp_hyperparameter_posterior():
     """Posterior over log10(theta) on a 1-D GP: chains must concentrate
     around the MAP estimate."""
