@@ -38,8 +38,11 @@ def make_gp_logpost(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     """Log posterior over an unconstrained vector z, with
     hp_vec = lb + (ub - lb) * sigmoid(z) and the log-Jacobian of the
     transform (box-uniform prior on the optimization-space hp vector)."""
-    lb = jnp.asarray(lb)
-    ub = jnp.asarray(ub)
+    # pin the bounds to the model dtype: in an x64 process f64 numpy bounds
+    # would otherwise promote the whole MLL to f64 -- on TPU that means
+    # emulated-f64 programs (or kernel faults) the caller never asked for
+    lb = jnp.asarray(lb, data.x.dtype)
+    ub = jnp.asarray(ub, data.x.dtype)
 
     def logpost(z):
         s = jax.nn.sigmoid(z)
