@@ -13,15 +13,32 @@ import jax as _jax
 
 # persistent XLA compilation cache: compiles through the remote-TPU tunnel
 # take minutes (f64-emulated eigh alone is ~2 min); caching them across
-# processes makes warm startup near-instant.  NOT enabled for CPU-forced
-# processes (tests): the remote compile service produces CPU AOT code with
-# the remote host's ISA features (avx512/amx), which this host may lack --
-# loading those entries risks SIGILL.
-if (_jax.config.jax_compilation_cache_dir is None
-        and (_jax.config.jax_platforms or "") != "cpu"):
+# processes makes warm startup near-instant.  CPU-forced processes (tests,
+# the BO trace campaign workers) get a SEPARATE cache directory keyed by
+# this host's CPU feature set: CPU AOT code embeds ISA extensions
+# (avx512/amx), so entries must never be shared across hosts with different
+# flags (SIGILL risk) nor mixed with code produced by the remote compile
+# service.  Keying the directory on a fingerprint of /proc/cpuinfo flags
+# makes reuse safe while letting N campaign workers share one compile of
+# the (identical) multistart fit program per shape bucket.
+def _cpu_fingerprint():
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    import hashlib
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown"
+
+
+if _jax.config.jax_compilation_cache_dir is None:
     _cache = _os.environ.get(
         "GPGRADPY_TPU_JAX_CACHE",
         _os.path.join(_os.path.expanduser("~"), ".cache", "gpgradpy_tpu_jax"))
+    if (_jax.config.jax_platforms or "") == "cpu":
+        _cache = _cache + "_cpu_" + _cpu_fingerprint()
     try:
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
