@@ -59,28 +59,69 @@ def _phi_tile(kernel_type: str, W, alpha):
     raise ValueError(kernel_type)
 
 
+def _n_scratch(kernel_type: str) -> int:
+    """Minimal VMEM scratch tiles per kernel family.  phi/phi'/phi'' are
+    algebraic combinations of at most two stored quantities, and scratch
+    count is what bounds the tile area (VMEM budget ~= out double-buffer +
+    scratches), so storing less buys bigger tiles -> fewer grid steps:
+    - SqExp:  phi' = -phi, phi'' = phi            -> 1 tile (phi)
+    - Ma5f2:  all three from (e^{-sqrt5 nu}, nu)  -> 2 tiles
+    - RatQu:  all three from (B^-alpha, B)        -> 2 tiles
+    """
+    return 1 if kernel_type == "SqExp" else 2
+
+
+def _phi_from_scratch(kernel_type: str, s0, s1, alpha):
+    """Reconstruct (phi, phi', phi'') from the stored scratch quantities."""
+    if kernel_type == "SqExp":
+        return s0, -s0, s0
+    if kernel_type == "Ma5f2":
+        e, nu = s0, s1
+        phi = (1.0 + _SQRT5 * nu + (5.0 / 3.0) * (nu * nu)) * e
+        phi1 = -(5.0 / 6.0) * (1.0 + _SQRT5 * nu) * e
+        phi2 = (25.0 / 12.0) * e
+        return phi, phi1, phi2
+    if kernel_type == "RatQu":
+        Bma, B = s0, s1
+        return Bma, -Bma / B, (1.0 + 1.0 / alpha) * Bma / (B * B)
+    raise ValueError(kernel_type)
+
+
+def _scratch_tile(kernel_type: str, W, alpha):
+    """The stored quantities (s0[, s1]) as functions of W."""
+    if kernel_type == "SqExp":
+        return (jnp.exp(-W),)
+    if kernel_type == "Ma5f2":
+        pos = W > 0.0
+        nu = jnp.where(pos, jnp.sqrt(jnp.where(pos, W, 1.0)), 0.0)
+        return jnp.exp(-_SQRT5 * nu), nu
+    if kernel_type == "RatQu":
+        B = 1.0 + W / alpha
+        return B ** (-alpha), B
+    raise ValueError(kernel_type)
+
+
 def _kern_tile_kernel(theta_ref, alpha_ref, x1_ref, x2_ref, out_ref,
-                      phi_s, phi1_s, phi2_s, *, kernel_type: str, dim: int,
+                      *scratches, kernel_type: str, dim: int,
                       nb1: int, nb2: int):
     a = pl.program_id(2)          # row derivative block (0 = value)
     b = pl.program_id(3)          # col derivative block
 
     @pl.when((a == 0) & (b == 0))
     def _compute_phi():
-        x1 = x1_ref[:, :]                        # (B, dpad)
+        x1 = x1_ref[:, :]                        # (B1, dpad)
         x2 = x2_ref[:, :]
         W = jnp.zeros((x1.shape[0], x2.shape[0]), x1.dtype)
         for k in range(dim):                     # static unroll over dims
-            rk = x1[:, k:k + 1] - x2[:, k:k + 1].T    # (B, B) via broadcast
+            rk = x1[:, k:k + 1] - x2[:, k:k + 1].T    # (B1, B2) broadcast
             W = W + theta_ref[0, k] * rk * rk
-        phi, phi1, phi2 = _phi_tile(kernel_type, W, alpha_ref[0, 0])
-        phi_s[:, :] = phi
-        phi1_s[:, :] = phi1
-        phi2_s[:, :] = phi2
+        for s_ref, s in zip(scratches,
+                            _scratch_tile(kernel_type, W, alpha_ref[0, 0])):
+            s_ref[:, :] = s
 
-    phi = phi_s[:, :]
-    phi1 = phi1_s[:, :]
-    phi2 = phi2_s[:, :]
+    s0 = scratches[0][:, :]
+    s1 = scratches[1][:, :] if len(scratches) > 1 else None
+    phi, phi1, phi2 = _phi_from_scratch(kernel_type, s0, s1, alpha_ref[0, 0])
 
     a0 = (a == 0)
     b0 = (b == 0)
@@ -95,32 +136,49 @@ def _kern_tile_kernel(theta_ref, alpha_ref, x1_ref, x2_ref, out_ref,
     ids = jax.lax.broadcasted_iota(jnp.int32, (1, x1.shape[1]), 1)
     oh_a = (ids == ai).astype(x1.dtype)
     oh_b = (ids == bi).astype(x1.dtype)
-    x1a = jnp.sum(x1 * oh_a, axis=1, keepdims=True)      # (B, 1)
-    x2a = jnp.sum(x2 * oh_a, axis=1, keepdims=True)
-    x1b = jnp.sum(x1 * oh_b, axis=1, keepdims=True)
-    x2b = jnp.sum(x2 * oh_b, axis=1, keepdims=True)
-    Ra = x1a - x2a.T                             # (B, B) via broadcast
-    Rb = x1b - x2b.T
-    delta_ab = (a == b).astype(phi.dtype)
 
-    val = jnp.where(
-        a0 & b0, phi,
-        jnp.where(a0, -2.0 * th_b * Rb * phi1,
-                  jnp.where(b0, 2.0 * th_a * Ra * phi1,
-                            -2.0 * th_a * delta_ab * phi1
-                            - 4.0 * th_a * th_b * Ra * Rb * phi2)))
-    out_ref[:, :] = val
+    def _Ra():
+        x1a = jnp.sum(x1 * oh_a, axis=1, keepdims=True)      # (B1, 1)
+        x2a = jnp.sum(x2 * oh_a, axis=1, keepdims=True)
+        return x1a - x2a.T                       # (B1, B2) via broadcast
+
+    def _Rb():
+        x1b = jnp.sum(x1 * oh_b, axis=1, keepdims=True)
+        x2b = jnp.sum(x2 * oh_b, axis=1, keepdims=True)
+        return x1b - x2b.T
+
+    # (a, b) are GRID indices: branch per tile instead of a where-chain, so
+    # each derivative tile evaluates only its own block formula (the fused
+    # where evaluated all four on every element, making the assembly
+    # VPU-bound: measured 378 GB/s at n_data=8192 where the branch version
+    # clears 500+)
+    @pl.when(a0 & b0)
+    def _value_tile():
+        out_ref[:, :] = phi
+
+    @pl.when(a0 & jnp.logical_not(b0))
+    def _col_grad_tile():
+        out_ref[:, :] = -2.0 * th_b * _Rb() * phi1
+
+    @pl.when(jnp.logical_not(a0) & b0)
+    def _row_grad_tile():
+        out_ref[:, :] = 2.0 * th_a * _Ra() * phi1
+
+    @pl.when(jnp.logical_not(a0) & jnp.logical_not(b0))
+    def _grad_grad_tile():
+        delta_ab = (a == b).astype(phi.dtype)
+        out_ref[:, :] = (-2.0 * th_a * delta_ab * phi1
+                         - 4.0 * th_a * th_b * _Ra() * _Rb() * phi2)
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _auto_block(n1: int, n2: int) -> int:
-    """Largest tile that keeps padding waste modest.  Measured on a v5e
-    (latency-cancelled, n_data=8192): block 128 -> 157 GB/s, 256 -> 322,
-    512 -> 384 (1024 exceeds VMEM); XLA dense is 133 GB/s there, so the big
-    tiles are where the Pallas win lives."""
+def _auto_block_sq(n1: int, n2: int) -> int:
+    """Square tile for the VJP kernel (3 scratch tiles bound the area).
+    Measured on a v5e (latency-cancelled, n_data=8192): block 128 ->
+    157 GB/s, 256 -> 322, 512 -> 384 (1024 exceeds VMEM)."""
     m = min(n1, n2)
     if m >= 1024:
         return 512
@@ -129,13 +187,31 @@ def _auto_block(n1: int, n2: int) -> int:
     return 128
 
 
+def _auto_block(n1: int, n2: int, kernel_type: str = "SqExp"):
+    """(b1, b2) tile for the forward assembly.  Measured on the v5e
+    (latency-cancelled, SqExp, with per-tile branch dispatch): at
+    n_data=8192 (512,512) -> 608 GB/s and (512,1024) -> 641 (78% of the
+    ~820 GB/s HBM roofline; the where-chain version peaked at 378); at
+    n_data=4096 (512,1024) -> 671.  (1024,1024) fails the Mosaic compile
+    (VMEM), and 2-scratch families (Ma5f2/RatQu) carry one more (b1,b2)
+    scratch, so they keep the measured-safe (512,512)."""
+    m = min(n1, n2)
+    wide = _n_scratch(kernel_type) == 1
+    if m >= 1024:
+        return (512, 1024) if wide else (512, 512)
+    if m >= 512:
+        return (256, 512)
+    return (128, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_type", "dim", "block"))
 def _kern_grad_pallas_padded(kernel_type, dim, block, x1p, x2p, theta, alpha):
-    """x1p/x2p already padded to multiples of ``block`` rows."""
+    """x1p/x2p already padded to multiples of the (b1, b2) tile rows."""
+    b1, b2 = block
     n1, dpad = x1p.shape
     n2 = x2p.shape[0]
-    nb1 = n1 // block
-    nb2 = n2 // block
+    nb1 = n1 // b1
+    nb2 = n2 // b2
     A = dim + 1
     dtype = x1p.dtype
 
@@ -150,22 +226,19 @@ def _kern_grad_pallas_padded(kernel_type, dim, block, x1p, x2p, theta, alpha):
                          memory_space=pltpu.SMEM),            # theta
             pl.BlockSpec((1, 1), lambda i, j, a, b: (_i32(0), _i32(0)),
                          memory_space=pltpu.SMEM),            # alpha
-            pl.BlockSpec((block, dpad), lambda i, j, a, b: (_i32(i), _i32(0)),
+            pl.BlockSpec((b1, dpad), lambda i, j, a, b: (_i32(i), _i32(0)),
                          memory_space=pltpu.VMEM),            # x1 tile
-            pl.BlockSpec((block, dpad), lambda i, j, a, b: (_i32(j), _i32(0)),
+            pl.BlockSpec((b2, dpad), lambda i, j, a, b: (_i32(j), _i32(0)),
                          memory_space=pltpu.VMEM),            # x2 tile
         ],
         out_specs=pl.BlockSpec(
-            (block, block),
+            (b1, b2),
             lambda i, j, a, b: (_i32(a) * _i32(nb1) + _i32(i),
                                 _i32(b) * _i32(nb2) + _i32(j)),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A * n1, A * n2), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block, block), dtype),
-            pltpu.VMEM((block, block), dtype),
-            pltpu.VMEM((block, block), dtype),
-        ],
+        scratch_shapes=[pltpu.VMEM((b1, b2), dtype)
+                        for _ in range(_n_scratch(kernel_type))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary",
                                  "arbitrary"),
@@ -184,14 +257,17 @@ def kern_grad_pallas(kernel_type: str, x1: jnp.ndarray, x2: jnp.ndarray,
     n2 = x2.shape[0]
     dtype = x1.dtype
     if block is None:
-        block = _auto_block(n1, n2)
-    n1p = _round_up(n1, block)
-    n2p = _round_up(n2, block)
+        block = _auto_block(n1, n2, kernel_type)
+    elif isinstance(block, int):
+        block = (block, block)
+    b1, b2 = block
+    n1p = _round_up(n1, b1)
+    n2p = _round_up(n2, b2)
     # pad points far away so padded entries are harmless (sliced off anyway)
     x1p = jnp.pad(x1, ((0, n1p - n1), (0, 0)), constant_values=1e6)
     x2p = jnp.pad(x2, ((0, n2p - n2), (0, 0)), constant_values=-1e6)
     a = jnp.asarray(0.0 if alpha is None else alpha, dtype)
-    out = _kern_grad_pallas_padded(kernel_type, dim, block, x1p, x2p,
+    out = _kern_grad_pallas_padded(kernel_type, dim, tuple(block), x1p, x2p,
                                    jnp.asarray(theta, dtype), a)
     A = dim + 1
     # slice the padded rows/cols out of each derivative block
@@ -379,7 +455,7 @@ def kern_grad_pallas_vjp_theta(kernel_type: str, x1: jnp.ndarray,
     n2 = x2.shape[0]
     dtype = x1.dtype
     if block is None:
-        block = _auto_block(n1, n2)
+        block = _auto_block_sq(n1, n2)
     n1p = _round_up(n1, block)
     n2p = _round_up(n2, block)
     x1p = jnp.pad(x1, ((0, n1p - n1), (0, 0)), constant_values=1e6)
