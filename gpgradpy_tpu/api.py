@@ -505,7 +505,7 @@ class GaussianProcess:
     def _iter_mesh(self):
         """1-D device mesh for the iterative solver's sharded matvecs (or
         None).  Cached: jit closures key on mesh identity."""
-        if not self.cfg.iter_use_mesh:
+        if not (self.cfg.iter_use_mesh or self.cfg.solver == "dense_dist"):
             return None
         m = getattr(self, "_iter_mesh_cache", None)
         if m is None:
@@ -523,6 +523,13 @@ class GaussianProcess:
                 self._eta_for_core(), history=self.history, i_optz=i_optz,
                 seed=self._fit_seed, x0_override=x0_override,
                 mesh=self._iter_mesh())
+        if cfg.solver == "dense_dist":
+            from .fit import dense_dist_driver
+            return dense_dist_driver.fit_map_dense_dist(
+                cfg, self.spec, self.hp_info_optz_lkd, self.data,
+                self._eta_for_core(), history=self.history, i_optz=i_optz,
+                seed=self._fit_seed, x0_override=x0_override,
+                mesh=self._iter_mesh(), hp_prev=self._prev_hp_vec())
         use_scipy = (cfg.optz_mtd in ("slsqp", "SLSQP", "trust-constr")
                      or cfg.b_use_cond_cstr)
         fitter = scipy_driver.fit_map_scipy if use_scipy else multistart.fit_map
@@ -823,11 +830,8 @@ class GaussianProcess:
                                     grad_init=None, calc_grad: bool = True):
         """Posterior mean (and its x-gradient) using the CURRENT
         factorization and hyperparameters but a different data vector
-        (GpEvalModel.calc_model_mean_w_data_init, GpEvalModel.py:384-440)."""
+        (GpEvalModel.calc_model_mean_w_data_init, GpEvalModel.py:384-393)."""
         self._check_eval_ready()
-        from .model.predict import _cross_cov
-        from .ops import rtensor as _rt
-
         xq = np.atleast_2d(np.asarray(x2model_init, float))
         fval = np.asarray(fval_init, float)
         if self.DataScl is not None:
@@ -836,6 +840,32 @@ class GaussianProcess:
                 fval, None, grad_init, None)[:4]
         else:
             xq_s, fval_s, grad_s = xq, fval, grad_init
+        return self.calc_model_mean_w_data_scl(xq_s, fval_s, grad_s,
+                                               calc_grad=calc_grad)
+
+    def calc_model_mean_w_data_scl(self, x2model_scl, fval_scl,
+                                   grad_scl=None, calc_grad: bool = True):
+        """Scaled-frame twin of ``calc_model_mean_w_data_init``: query point
+        and data vector are already in the rescaling frame; results are
+        mapped back to the init frame like the reference's
+        GpEvalModel.calc_model_mean_w_data_scl (GpEvalModel.py:397-440).
+        Without an active rescaling the two frames coincide.
+
+        Note: the reference's implementation is broken as shipped -- it
+        passes raw point arrays where its bound kernel expects an Rtensor
+        (GpEvalModel.py:401 calls calc_KernGrad(x2model_scl, xeval_scl,
+        theta) against e.g. sq_exp_calc_KernGrad(Rtensor, theta, hp_kernel),
+        raising ValueError on the shape unpack).  This implements the
+        intended semantics; tests/test_api_extras.py golden-checks it
+        against the reference formula with the missing Rtensor step
+        restored."""
+        self._check_eval_ready()
+        from .model.predict import _cross_cov
+        from .ops import rtensor as _rt
+
+        xq_s = np.atleast_2d(np.asarray(x2model_scl, float))
+        fval_s = np.asarray(fval_scl, float)
+        grad_s = grad_scl
 
         hp = self.hp_vals
         spec, cfg = self.spec, self.cfg
@@ -855,7 +885,7 @@ class GaussianProcess:
         mu = np.asarray(mval + Kyx.T @ sol)
         dmu = None
         if calc_grad:
-            nx, dim = xq.shape
+            nx, dim = xq_s.shape
             dmu = np.asarray((dKxy_dx @ sol).reshape(dim, nx).T + mgrad)
         if self.DataScl is not None:
             mu, _, dmu = self.DataScl.obj_scl_2_init(mu, None, dmu)[:3]

@@ -117,18 +117,23 @@ class GpConfig:
                                           # TPU training paths (f32, full grad
                                           # set; ignored on CPU / f64 / partial
                                           # gradients -- see assembly.calc_kern).
-                                          # Measured v5e (auto tile): n_data=
-                                          # 4096 395-867 GB/s vs 199-254 XLA;
-                                          # 8192 364 vs 125; engages n>=4096
+                                          # Measured v5e (auto tile, branch
+                                          # dispatch): n_data=8192 641 GB/s vs
+                                          # 127 XLA; 4096 671 vs 214; 2048 485
+                                          # vs 227; engages n_data>=2048
     pad_n_eval_multiple: int = 0          # shape bucketing: pad n_eval up to a
                                           # multiple so growing datasets (BO)
                                           # reuse one compiled program
 
     # --- large-n iterative solver (facade entry for SURVEY 5.7) ---
-    solver: str = "dense"                 # 'dense' (Cholesky, O(n^3)) or
+    solver: str = "dense"                 # 'dense' (Cholesky, O(n^3)),
                                           # 'iterative' (matrix-free CG+SLQ,
                                           # O(n^2) time / O(n*block) memory;
-                                          # model/likelihood_iter.py)
+                                          # model/likelihood_iter.py), or
+                                          # 'dense_dist' (mid-n direct:
+                                          # distributed blocked Cholesky over
+                                          # the device mesh,
+                                          # fit/dense_dist_driver.py)
     iter_n_probes: int = 16               # Hutchinson/SLQ probe vectors
     iter_max_cg: int = 1024               # CG iteration cap: the diagonal
                                           # (precon-trick) preconditioner
@@ -142,6 +147,11 @@ class GpConfig:
     iter_use_mesh: bool = False           # shard matvecs over all local
                                           # devices (point axis on a 1-D mesh;
                                           # mesh size must divide n_eval)
+    dist_chol_block: int = 64             # block size of the distributed
+                                          # blocked Cholesky (solver=
+                                          # 'dense_dist'; n_data must be a
+                                          # multiple of mesh.size * block --
+                                          # use pad_n_eval_multiple)
 
     def __post_init__(self):
         assert self.kernel_type in KERNEL_TYPES, f"unknown kernel {self.kernel_type}"
@@ -151,7 +161,7 @@ class GpConfig:
         # reference forces 'base' when gradients are off (GaussianProcess.py:202)
         if not self.use_grad and self.wellcond_mtd != "base":
             object.__setattr__(self, "wellcond_mtd", "base")
-        assert self.solver in ("dense", "iterative"), \
+        assert self.solver in ("dense", "iterative", "dense_dist"), \
             f"unknown solver {self.solver}"
         if self.solver == "iterative":
             # dense-path-only features: polish re-fit (warm f64 Cholesky

@@ -114,14 +114,15 @@ def calc_kern(cfg: GpConfig, spec: DataSpec, x: jnp.ndarray, hp: Hypers):
     With ``cfg.use_pallas`` (TPU, full gradient set) the tiled Pallas
     assembly produces the matrix with a single HBM write; otherwise the
     vectorized XLA closed forms.  The Pallas path only engages where it
-    measurably wins (v5e, latency-cancelled, auto tile: n_data=4096
-    395-867 GB/s vs 199-254 XLA; n_data=8192 364 vs 125; at n_data<=2048
-    XLA's fused dense assembly is as fast or faster and the extra Mosaic
-    compile through the remote tunnel is pure overhead)."""
+    measurably wins (v5e, latency-cancelled, auto tile, per-tile branch
+    dispatch: n_data=8192 641 GB/s vs 127 XLA; 4096 671 vs 214; 2048 485
+    vs 227; at n_data<=1024 XLA's fused dense assembly is faster (374 vs
+    157) and the extra Mosaic compile through the remote tunnel is pure
+    overhead)."""
     idx = spec.idx_grad_arr
     n_data_full = x.shape[0] * (spec.dim + 1)
     if (cfg.use_pallas and cfg.use_grad and idx is None
-            and n_data_full >= 4096
+            and n_data_full >= 2048
             and x.dtype != jnp.float64
             and jax.default_backend() != "cpu"):
         alpha = hp.kernel if hp.kernel is not None else jnp.asarray(0.0, x.dtype)
@@ -134,7 +135,7 @@ def calc_kern(cfg: GpConfig, spec: DataSpec, x: jnp.ndarray, hp: Hypers):
 def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
                   eta_const: float, varK: Optional[jnp.ndarray] = None,
                   Kern: Optional[jnp.ndarray] = None,
-                  factor_dtype=None) -> KetaOps:
+                  factor_dtype=None, mesh=None) -> KetaOps:
     """Assemble and factorize the regularized covariance (correlation scale).
 
     ``varK`` scales the noise term only (Kern_w_noise = K + diag(noise)/varK,
@@ -145,7 +146,19 @@ def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
     keeping M itself in the assembly precision — the mixed-precision mode
     where solves go through ``linalg.refine_solve`` against the full-precision
     M (see predict._ops_solve).
+
+    ``mesh`` (a 1-D device mesh) routes the factorization through the
+    distributed blocked Cholesky (parallel/chol_dist.py, O(n^3/n_dev) per
+    device) -- the mid-n direct branch of SURVEY 5.7, engaged by the facade's
+    solver='dense_dist'.  Requires n_data divisible by
+    mesh.size * cfg.dist_chol_block (use pad_n_eval_multiple).
     """
+    def _chol(M):
+        if mesh is not None:
+            return linalg.cholesky_ok_dist(M, mesh,
+                                           block=cfg.dist_chol_block)
+        return linalg.cholesky_ok(M)
+
     if Kern is None:
         Kern = calc_kern(cfg, spec, data.x, hp)
     n_data = Kern.shape[0]
@@ -169,8 +182,8 @@ def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
             etaK = (jnp.max(jnp.sum(jnp.abs(Kcor), axis=1))
                     / (cfg.cond_max_target - 1.0))
         M = Kcor + etaK * jnp.eye(n_data, dtype=Kern.dtype)
-        fac = linalg.cholesky_ok(M if factor_dtype is None
-                                 else M.astype(factor_dtype))
+        fac = _chol(M if factor_dtype is None
+                    else M.astype(factor_dtype))
         logdet = (linalg.logdet_from_chol(fac).astype(M.dtype)
                   + 2.0 * jnp.sum(jnp.log(pvec)))
     else:
@@ -181,8 +194,8 @@ def assemble_keta(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
             etaK = (jnp.max(jnp.sum(jnp.abs(Kern), axis=1))
                     / (cfg.cond_max_target - 1.0))
         M = Kw + etaK * jnp.eye(n_data, dtype=Kern.dtype)
-        fac = linalg.cholesky_ok(M if factor_dtype is None
-                                 else M.astype(factor_dtype))
+        fac = _chol(M if factor_dtype is None
+                    else M.astype(factor_dtype))
         logdet = linalg.logdet_from_chol(fac).astype(M.dtype)
 
     if pad_mask is not None:

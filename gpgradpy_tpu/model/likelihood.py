@@ -59,7 +59,7 @@ def _varK_penalty(cfg: GpConfig, varK, fval):
 
 
 def calc_lkd(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
-             eta_const: float, calc_cond: bool = False) -> LkdInfo:
+             eta_const: float, calc_cond: bool = False, mesh=None) -> LkdInfo:
     """MLL and closed-form hyperparameters for one Hypers pytree.
 
     Fully differentiable in (theta, kernel, varK, var_fval, var_fgrad); the
@@ -77,7 +77,8 @@ def calc_lkd(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
 
     if spec.b_has_noisy_data:
         varK = hp.varK
-        ops = assembly.assemble_keta(cfg, spec, data, hp, eta_const, varK=varK)
+        ops = assembly.assemble_keta(cfg, spec, data, hp, eta_const, varK=varK,
+                                     mesh=mesh)
         beta, mean_vec = mean.gls_beta_precon(vand, ops.fac, ops.pvec, data_vec)
         r = data_vec - mean_vec
         alpha = ops.solve(r)
@@ -86,7 +87,8 @@ def calc_lkd(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
         ln_lkd = -(ln_det_Kcov + quad) / 2.0
         ln_det = ln_det_Kcov
     else:
-        ops = assembly.assemble_keta(cfg, spec, data, hp, eta_const, varK=None)
+        ops = assembly.assemble_keta(cfg, spec, data, hp, eta_const, varK=None,
+                                     mesh=mesh)
         beta, mean_vec = mean.gls_beta_precon(vand, ops.fac, ops.pvec, data_vec)
         r = data_vec - mean_vec
         alpha = ops.solve(r)
@@ -106,7 +108,7 @@ def calc_lkd(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
 # ---------------------------------------------------------------------------
 
 def neg_mll(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
-            hp_vec: jnp.ndarray, eta_const: float):
+            hp_vec: jnp.ndarray, eta_const: float, mesh=None):
     """-ln L as a function of the flat (log-space) hp vector, with a cheap
     feasibility-restoring fallback when the Cholesky fails.
 
@@ -121,7 +123,7 @@ def neg_mll(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
     (fit/scipy_driver.py).
     """
     hp = hp_vec_to_hypers(info, hp_vec)
-    lkd = calc_lkd(cfg, spec, data, hp, eta_const, calc_cond=False)
+    lkd = calc_lkd(cfg, spec, data, hp, eta_const, calc_cond=False, mesh=mesh)
     log10_th = hp_vec[: info.dim] if info.log_theta else jnp.log10(hp_vec[: info.dim])
     fallback = 1e12 * (1.0 + jnp.mean(jax.nn.softplus(-log10_th)))
     val = jnp.where(lkd.ok, -lkd.ln_lkd, fallback)
@@ -131,9 +133,10 @@ def neg_mll(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
 
 
 def neg_mll_and_grad(cfg: GpConfig, spec: DataSpec, info: HpInfo,
-                     data: GpData, hp_vec: jnp.ndarray, eta_const: float):
+                     data: GpData, hp_vec: jnp.ndarray, eta_const: float,
+                     mesh=None):
     (val, lkd), g = jax.value_and_grad(
-        lambda v: neg_mll(cfg, spec, info, data, v, eta_const),
+        lambda v: neg_mll(cfg, spec, info, data, v, eta_const, mesh=mesh),
         has_aux=True)(hp_vec)
     g = jnp.where(jnp.isfinite(g), g, 0.0)
     return val, g, lkd
@@ -141,9 +144,10 @@ def neg_mll_and_grad(cfg: GpConfig, spec: DataSpec, info: HpInfo,
 
 def calc_lkd_hp_vec(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
                     hp_vec: jnp.ndarray, eta_const: float,
-                    calc_cond: bool = False) -> LkdInfo:
+                    calc_cond: bool = False, mesh=None) -> LkdInfo:
     hp = hp_vec_to_hypers(info, hp_vec)
-    return calc_lkd(cfg, spec, data, hp, eta_const, calc_cond=calc_cond)
+    return calc_lkd(cfg, spec, data, hp, eta_const, calc_cond=calc_cond,
+                    mesh=mesh)
 
 
 def closed_form_hp(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,

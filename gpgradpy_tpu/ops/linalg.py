@@ -11,6 +11,7 @@ so callers can implement the reference's condition-number fallback
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -65,6 +66,59 @@ def refine_solve(fac: CholFac, M: jnp.ndarray, b: jnp.ndarray,
         r = b - M @ x
         x = x + cho_solve(fac, r.astype(lo)).astype(hi)
     return x
+
+
+@lru_cache(maxsize=16)
+def _chol_dist_fn(mesh, block: int):
+    """Distributed-forward Cholesky with an analytic (single-device) pullback.
+
+    Forward: the right-looking blocked factorization of parallel/chol_dist.py
+    runs O(n^3 / n_dev) flops per device over the mesh; the factor comes back
+    as one logical (row-sharded) array.  Backward: reverse-differentiating
+    the fori_loop factorization is impossible, so the standard Cholesky
+    pullback  Abar = L^-T Phi(L^T Lbar) L^-1  (Phi = tril with halved
+    diagonal; the same closed form XLA's native cholesky VJP uses) is applied
+    to the SAVED factor with two triangular solves -- O(n^3) on one device,
+    exactly the cost the dense path's VJP already pays, so swapping the
+    forward factorization for the distributed one never regresses the
+    gradient path.  (A sharded triangular-solve pullback is the documented
+    extension, parallel/chol_dist.py module docstring.)
+    """
+    from ..parallel.chol_dist import cholesky_dist
+
+    @jax.custom_vjp
+    def f(A):
+        L, _ = cholesky_dist(mesh, A, block=block)
+        return L
+
+    def fwd(A):
+        L = f(A)
+        return L, L
+
+    def bwd(L, Lbar):
+        W = jnp.tril(L.T @ Lbar)
+        W = W - 0.5 * jnp.diag(jnp.diagonal(W))
+        Y = solve_triangular(L, W, lower=True, trans=1)        # L^T Y = Phi
+        Abar = solve_triangular(L, Y.T, lower=True, trans=1).T  # Y L^-1
+        # the primal input is symmetric by construction; hand back the
+        # symmetrized pullback so either (i,j)/(j,i) routing upstream sees
+        # the same sensitivity (matches jnp.linalg.cholesky to ~eps, see
+        # tests/test_dense_dist.py)
+        return (0.5 * (Abar + Abar.T),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def cholesky_ok_dist(A: jnp.ndarray, mesh, block: int = 64) -> CholFac:
+    """``cholesky_ok`` with the factorization distributed over ``mesh``
+    (parallel/chol_dist.py) -- the mid-n direct branch of SURVEY 5.7.
+    Same contract: sanitized factor + ok flag, differentiable."""
+    L = _chol_dist_fn(mesh, int(block))(A)
+    d = jnp.diagonal(L)
+    ok = jnp.all(jnp.isfinite(d)) & jnp.all(d > 0.0)
+    L = jnp.where(ok, L, jnp.eye(A.shape[0], dtype=A.dtype))
+    return CholFac(L, ok)
 
 
 def cond_eigh(A: jnp.ndarray) -> jnp.ndarray:

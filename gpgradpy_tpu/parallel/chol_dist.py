@@ -28,6 +28,14 @@ The factor stays sharded; `logdet` comes out replicated.  For solves at
 mid n, gather the factor (`jax.device_get` / all_gather) or use the CG
 path -- a fully distributed triangular solve is latency-bound and not
 worth its complexity at the sizes where direct factorization wins.
+
+Consumers: ops/linalg.cholesky_ok_dist wraps this in a custom-VJP CholFac
+drop-in (analytic Cholesky pullback on the saved factor), which
+model/assembly.assemble_keta(mesh=...) routes every covariance
+factorization through, delivered at the facade as ``solver='dense_dist'``
+(fit/dense_dist_driver.py -- see its module docstring for the CG-vs-direct
+crossover).  Exercised by tests/test_dense_dist.py and
+__graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
