@@ -227,10 +227,16 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
                 # pilot: estimate per-step cost, then size the chain so the
                 # DIFFERENCED work is >> the ~15-60 ms tunnel noise floor
                 # (fixed small reps at n_data=4096 once measured an
-                # impossible 1.7 TB/s -- pure timing noise)
+                # impossible 1.7 TB/s -- pure timing noise).  The pilot is
+                # itself differenced ((t_HI-t_LO)/(R_HI-R_LO)) so the fixed
+                # dispatch latency cancels and cheap assemblies don't make
+                # r_hi undershoot the 250 ms target.
                 float(many(R_LO)); float(many(R_HI))
+                t0 = time.time(); float(many(R_LO))
+                t_lo0 = time.time() - t0
                 t0 = time.time(); float(many(R_HI))
-                per0 = max((time.time() - t0) / R_HI, 1e-6)
+                t_hi0 = time.time() - t0
+                per0 = max((t_hi0 - t_lo0) / (R_HI - R_LO), 1e-6)
                 r_hi = R_LO + int(min(max(0.25 / per0, 32), 512))
                 float(many(r_hi))  # compile the long chain
                 t = {}
@@ -251,9 +257,15 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
                               f"noise floor ({diff*1e3:.2f} ms diff)",
                               file=sys.stderr)
                     continue
-                out.append({"n_data": n_data, "impl": name,
-                            "ms_per_assembly": round(per * 1e3, 3),
-                            "gb_per_s": round(nbytes / per / 1e9, 1)})
+                rec_a = {"n_data": n_data, "impl": name,
+                         "ms_per_assembly": round(per * 1e3, 3),
+                         "gb_per_s": round(nbytes / per / 1e9, 1)}
+                if diff < 0.1:
+                    # between the 5 ms floor guard and the 250 ms target:
+                    # report, but flag the limited differenced work
+                    rec_a["note"] = (f"low differenced work "
+                                     f"({diff*1e3:.0f} ms): +-noise")
+                out.append(rec_a)
                 if verbose:
                     print(f"[assembly] n_data={n_data} {name:6s}: "
                           f"{per*1e3:8.2f} ms -> {nbytes/per/1e9:7.1f} GB/s",
@@ -362,8 +374,17 @@ def main():
         t_ref, rmse_ref = bench_reference(verbose=args.verbose)
 
     extras = {}
+    # NUTS samples/s is part of the BASELINE.json metric definition, so it
+    # is emitted by DEFAULT into the committed bench record (cheap: one
+    # jitted vmapped program); --nuts adds the heavier chol/scaling
+    # diagnostics on top.
+    try:
+        extras["nuts_samples_per_s"] = round(
+            bench_nuts(verbose=args.verbose), 1)
+    except Exception as e:
+        print(f"[nuts] failed: {e}", file=sys.stderr)
+        extras["nuts_samples_per_s"] = None
     if args.nuts:
-        extras["nuts_samples_per_s"] = round(bench_nuts(verbose=True), 1)
         extras["chol_tflops"] = bench_chol(verbose=True)
         scal = bench_scaling(verbose=True)
         if scal is not None:
@@ -386,7 +407,16 @@ def main():
               f"rmse_ref={rmse_ref:.4g})",
               file=sys.stderr)
 
-    vs = (t_ref / t_ours) if (np.isfinite(t_ref) and quality_ok) else 0.0
+    # The measured t_ref swings wildly with the host the round happens to
+    # run on (observed 4.1 s .. 82.6 s for the same numba-stubbed reference
+    # fit across rounds), which made the headline ratio noise.  The headline
+    # vs_baseline is therefore PINNED to a canonical reference time -- the
+    # FASTEST reference fit observed across round hosts (round-1 idle host,
+    # i.e. the most conservative choice for the ratio); the same-host
+    # measured ratio is kept alongside as vs_baseline_measured for audit.
+    T_REF_CANONICAL = 4.1
+    vs_meas = (t_ref / t_ours) if (np.isfinite(t_ref) and quality_ok) else 0.0
+    vs = (T_REF_CANONICAL / t_ours) if quality_ok else 0.0
     # the full auditable record: the reference timing behind vs_baseline, the
     # RMSEs behind the quality gate, and any diagnostics that ran, so the
     # headline ratio can be verified after the fact
@@ -394,6 +424,8 @@ def main():
            "value": round(t_ours, 4),
            "unit": "s",
            "vs_baseline": round(vs, 2),
+           "t_ref_canonical_s": T_REF_CANONICAL,
+           "vs_baseline_measured": round(vs_meas, 2),
            "t_ref_s": round(t_ref, 4) if np.isfinite(t_ref) else None,
            "rmse_ours": round(rmse_ours, 6),
            "rmse_ref": round(rmse_ref, 6) if np.isfinite(rmse_ref) else None,

@@ -134,6 +134,17 @@ def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default",
                 n_fin = int(np.isfinite(z["merit_all"]).sum())
                 print(f"[{method} start {j}] resuming from checkpoint "
                       f"({n_fin} evaluations recorded)")
+            else:
+                # a size mismatch means the run was re-launched with a
+                # different --n-iter; falling through would let the fresh
+                # run's first periodic checkpoint overwrite the recorded
+                # progress.  Refuse instead of silently discarding it.
+                raise SystemExit(
+                    f"[{method} start {j}] checkpoint {path} holds "
+                    f"{z['merit_all'].size - dim - 2} iterations but "
+                    f"--n-iter {n_iter} was requested; re-run with "
+                    f"--n-iter {z['merit_all'].size - dim - 2} to resume "
+                    f"it, or delete the file to start fresh")
         except Exception as e:
             print(f"[{method} start {j}] checkpoint unreadable ({e}); "
                   f"starting fresh")

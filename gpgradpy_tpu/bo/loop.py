@@ -332,13 +332,17 @@ def run_bo(obj_fun: Callable, lb, ub, n_iter: int,
 
     i_start = 0
     if resume_trace is not None:
-        assert noise_std == 0, \
-            "resume_trace needs a deterministic (noise-free) objective"
+        # explicit raises (not asserts): resume validation must survive
+        # python -O like the merit-mismatch ValueError below
+        if noise_std != 0:
+            raise ValueError(
+                "resume_trace needs a deterministic (noise-free) objective")
         m_prev = np.asarray(resume_trace.merit_all, float)
         fin = np.isfinite(m_prev)
         n_done = int(fin.sum())
-        assert fin[:n_done].all(), \
-            "resume_trace: finite-merit prefix is not contiguous"
+        if not fin[:n_done].all():
+            raise ValueError(
+                "resume_trace: finite-merit prefix is not contiguous")
         if n_done > n_init and m_prev.size == n_total:
             x_prev = np.asarray(resume_trace.x_all, float)[:n_done]
             f_prev, g_prev = obj_fun(x_prev)

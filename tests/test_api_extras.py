@@ -42,6 +42,99 @@ def test_calc_model_mean_w_data():
     # scaled data changes the prediction consistently (mean fn held fixed)
     mu2, _ = gp.calc_model_mean_w_data_init(xq, 2 * f, 2 * g, calc_grad=False)
     assert not np.allclose(mu2, mu)
+    # no rescaling frame active: the _scl entry coincides with _init
+    mu3, dmu3 = gp.calc_model_mean_w_data_scl(xq, f, g, calc_grad=True)
+    np.testing.assert_allclose(mu3, mu, rtol=1e-12)
+    np.testing.assert_allclose(dmu3, dmu, rtol=1e-12)
+
+
+def test_calc_model_mean_w_data_scl_rescaled_frame():
+    """_init == frame-transform + _scl under an active rescaling (the
+    reference's split, GpEvalModel.py:384-397)."""
+    rng = np.random.default_rng(3)
+    n, d = 12, 2
+    x = rng.uniform(-2, 2, (n, d))
+    f = np.sum(x ** 2, 1) + 1.5
+    g = 2 * x
+    gp = GaussianProcess(d, True, "SqExp", wellcond_mtd="rescale_origin")
+    gp.init_optz_surr(2)
+    gp.set_data(x, f, np.zeros(n), g, np.zeros((n, d)))
+    gp.set_hpara("optz", 0)
+
+    xq = rng.uniform(-1.5, 1.5, (3, d))
+    f2 = f + 0.3 * np.sin(x[:, 0])
+    g2 = g.copy()
+    g2[:, 0] += 0.3 * np.cos(x[:, 0])
+    mu_i, dmu_i = gp.calc_model_mean_w_data_init(xq, f2, g2, calc_grad=True)
+    s = gp.DataScl
+    xq_s = s.x_init_2_scl(xq)
+    f2_s, _, g2_s, _ = s.obj_init_2_scl(f2, None, g2, None)[:4]
+    mu_s, dmu_s = gp.calc_model_mean_w_data_scl(xq_s, f2_s, g2_s,
+                                                calc_grad=True)
+    np.testing.assert_allclose(mu_s, mu_i, rtol=1e-10)
+    np.testing.assert_allclose(dmu_s, dmu_i, rtol=1e-10)
+
+
+def test_golden_mean_w_data_vs_reference_formula():
+    """Golden parity for calc_model_mean_w_data_scl against the reference's
+    INTENDED formula (GpEvalModel.py:397-440).  As shipped the reference
+    method raises (it passes raw point arrays where the bound kernel
+    expects an Rtensor, GpEvalModel.py:401); the test restores the missing
+    calc_Rtensor step and otherwise evaluates the reference's own pieces in
+    place."""
+    import sys
+    sys.path.insert(0, "tests")
+    from ref_shim import load_reference
+    from scipy import linalg as slinalg
+
+    GP = load_reference()
+    if GP is None:
+        import pytest
+        pytest.skip("reference library unavailable")
+
+    dim, n = 2, 6
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (n, dim))
+    f = np.sum(x ** 2, 1)
+    g = 2 * x
+    theta = np.array([1.1, 0.8])
+
+    rgp = GP(dim, True, "SqExp", "base")
+    rgp.set_data(x, f, np.zeros(n), g, np.zeros((n, dim)))
+    hp = rgp.make_hp_class(beta=None, theta=theta, kernel=None, varK=None)
+    lkd, ok = rgp.calc_lkd_all(hp, calc_lkd=True, calc_grad=False)
+    assert ok
+    hp.beta = lkd.hp_beta
+    hp.varK = lkd.hp_varK
+    rgp.set_hpara("set", 0, hp_vals=hp)
+    rgp.setup_eval_model()
+
+    xq = np.array([[0.3, -0.4], [0.1, 0.55]])
+    f2 = f + 0.2 * x[:, 1]
+    g2 = g.copy()
+    g2[:, 1] += 0.2
+    # reference formula with the missing Rtensor step restored
+    Kgrad_xy = rgp.calc_KernGrad(rgp.calc_Rtensor(xq, x), theta, None)
+    nx = xq.shape[0]
+    mean_fval, mean_fgrad = rgp.eval_mean_fun(
+        x, hp.beta, bvec_use_grad=rgp.bvec_use_grad, calc_grad=True)[:2]
+    mean_vec = rgp.make_data_vec(mean_fval, mean_fgrad)
+    mu0, dmu0 = rgp.eval_mean_fun(xq, hp.beta, calc_grad=True)[:2]
+    data_vec = np.hstack((f2, np.reshape(g2, g2.size, order="F")))
+    sol = slinalg.cho_solve(rgp.KernEta_chofac, data_vec - mean_vec)
+    mu_ref = mu0 + Kgrad_xy[:nx] @ sol
+    dmu_ref = np.reshape(Kgrad_xy[nx:] @ sol, [nx, dim], order="F") + dmu0
+
+    # --- ours, same fixed hyperparameters
+    gp = GaussianProcess(dim, True, "SqExp", "base")
+    gp.init_optz_surr(2)
+    gp.set_data(x, f, np.zeros(n), g, np.zeros((n, dim)))
+    from gpgradpy_tpu.types import Hypers
+    import jax.numpy as jnp
+    gp.set_hpara("set", 0, hp_vals=Hypers(theta=jnp.asarray(theta)))
+    mu, dmu = gp.calc_model_mean_w_data_scl(xq, f2, g2, calc_grad=True)
+    np.testing.assert_allclose(mu, mu_ref, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(dmu, dmu_ref, rtol=1e-8, atol=1e-11)
 
 
 def test_grad_check_utility(capsys):
