@@ -81,7 +81,16 @@ def setup_eval(cfg: GpConfig, spec: DataSpec, data: GpData, hp: Hypers,
 def _cross_cov(cfg: GpConfig, spec: DataSpec, x_train, xq, hp: Hypers):
     """Kyx (n_data, nx) and dKxy_dx (nx*dim, n_data): cross covariance of the
     training data (values + used gradients) with the query points and with
-    the query-point derivatives (GpEvalModel.py:133-148)."""
+    the query-point derivatives (GpEvalModel.py:133-148).
+
+    Deliberately XLA-only: a Pallas cross-covariance was built and measured
+    (v5e, n_data=2048, batch 2048 queries with gradients, latency-cancelled:
+    1.46 ms/predict vs 1.32 XLA) -- the predict is MXU/triangular-solve
+    bound, not assembly bound, so XLA's fused assembly already feeds the
+    solves at full rate and the opaque pallas_call only blocks fusion.  The
+    rectangular (x1 != x2) Pallas assembly itself remains supported and
+    tested (tests/test_pallas.py cross case) for callers that want the bare
+    block matrix at scale."""
     R = rtensor.calc_rtensor(x_train, xq)
     G = kernels.kern_block_tensor(cfg.kernel_type, R, hp.theta, hp.kernel)
     dim = spec.dim

@@ -74,3 +74,20 @@ def test_pallas_vjp_theta_matches_xla(ktype, alpha):
             ktype, x, x, theta, alpha, gbar, block=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("ktype,alpha", CASES)
+def test_pallas_cross_covariance_matches_closed_form(ktype, alpha):
+    """Rectangular x1 != x2 case (the predict cross-covariance layout,
+    predict._cross_cov pallas branch)."""
+    rng = np.random.default_rng(3)
+    n1, n2, d = 24, 10, 3
+    x1 = jnp.asarray(rng.uniform(-1, 1, (n1, d)), jnp.float32)
+    x2 = jnp.asarray(rng.uniform(-1, 1, (n2, d)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0.5, 2, d), jnp.float32)
+    want = kernels.kern_grad(ktype, rtensor.calc_rtensor(x1, x2),
+                             theta, alpha)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_assembly.kern_grad_pallas(ktype, x1, x2, theta, alpha,
+                                               block=8)
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-6)
