@@ -410,13 +410,24 @@ def main():
     # The measured t_ref swings wildly with the host the round happens to
     # run on (observed 4.1 s .. 82.6 s for the same numba-stubbed reference
     # fit across rounds), which made the headline ratio noise.  The headline
-    # vs_baseline is therefore PINNED to a canonical reference time -- the
-    # FASTEST reference fit observed across round hosts (round-1 idle host,
-    # i.e. the most conservative choice for the ratio); the same-host
-    # measured ratio is kept alongside as vs_baseline_measured for audit.
-    T_REF_CANONICAL = 4.1
+    # vs_baseline is therefore PINNED to a canonical reference time read
+    # from the committed BASELINE.json artifact ("canonical_ref_fit": the
+    # FASTEST reference fit observed across round hosts, i.e. the most
+    # conservative choice for the ratio, with provenance metadata); the
+    # same-host measured ratio is kept alongside as vs_baseline_measured
+    # for audit.  If the artifact is absent the measured ratio becomes the
+    # headline.
+    T_REF_CANONICAL = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as fh:
+            T_REF_CANONICAL = float(
+                json.load(fh)["canonical_ref_fit"]["t_ref_s"])
+    except Exception:
+        pass
     vs_meas = (t_ref / t_ours) if (np.isfinite(t_ref) and quality_ok) else 0.0
-    vs = (T_REF_CANONICAL / t_ours) if quality_ok else 0.0
+    vs = ((T_REF_CANONICAL / t_ours)
+          if (quality_ok and T_REF_CANONICAL) else vs_meas)
     # the full auditable record: the reference timing behind vs_baseline, the
     # RMSEs behind the quality gate, and any diagnostics that ran, so the
     # headline ratio can be verified after the fact

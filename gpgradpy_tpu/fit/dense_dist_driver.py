@@ -119,9 +119,16 @@ def fit_map_dense_dist(cfg: GpConfig, spec: DataSpec, info: HpInfo,
         x0_np = np.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub,
                                           seed))
         if hp_prev is not None:
-            x0_np = np.vstack([x0_np, np.clip(
-                np.asarray(hp_prev, float).ravel(),
-                bounds.box_lb, bounds.box_ub)[None, :]])
+            hp_prev_row = np.clip(np.asarray(hp_prev, float).ravel(),
+                                  bounds.box_lb, bounds.box_ub)[None, :]
+            if hp_best:
+                # joins the hp_best argmin pool (an LHS sample that beats
+                # the previous round's hp still wins)
+                x0_np = np.vstack([x0_np, hp_prev_row])
+            else:
+                # the non-hp_best branch starts from x0_all[0]; the warm
+                # start must BE that row or it is silently never used
+                x0_np = hp_prev_row
         x0_all = jnp.asarray(x0_np, dt)
 
     lb = jnp.asarray(bounds.box_lb, dt)

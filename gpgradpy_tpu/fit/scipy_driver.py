@@ -29,80 +29,193 @@ from .multistart import (FitResult, HpBounds, _jit_batch_nll, get_hp_bounds,
 
 @lru_cache(maxsize=256)
 def _jit_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo):
-    """Jitted (value, grad, ok) of the MLL and (cond, cond_grad) at one hp
-    vector.  Cached at module level on the hashable static config so repeated
-    fits (one per BO iteration) reuse the compiled programs; data/eta are
-    traced arguments."""
+    """Jitted MLL / condition-number programs at one hp vector, split into
+    value-only and value+grad variants: scipy calls ``fun`` (line-search
+    trial points included) far more often than ``jac``, and the reverse-mode
+    gradients cost ~3x the forward value (for the fro cond the pullback
+    re-traverses the full-inverse solve), so evaluating gradients lazily --
+    only when scipy actually asks for a jacobian -- cuts the d>=10
+    cond-constrained fit time ~2-3x.  Cached at module level on the hashable
+    static config so repeated fits (one per BO iteration) reuse the compiled
+    programs; data/eta are traced arguments."""
+
+    def _lkd(v, data, eta_const):
+        hp = hp_vec_to_hypers(info, v)
+        lkd = likelihood.calc_lkd(cfg, spec, data, hp, eta_const)
+        return lkd.ln_lkd, lkd.ok
+
+    def _cond(v, data, eta_const):
+        hp = hp_vec_to_hypers(info, v)
+        ops = assembly.assemble_keta(
+            cfg, spec, data, hp, eta_const,
+            varK=hp.varK if spec.b_has_noisy_data else None)
+        return assembly.calc_cond(ops, cfg.cond_norm)
+
+    @jax.jit
+    def lkd_val(v, data, eta_const):
+        return _lkd(v, data, eta_const)
 
     @jax.jit
     def lkd_val_grad(v, data, eta_const):
-        def f(v):
-            hp = hp_vec_to_hypers(info, v)
-            lkd = likelihood.calc_lkd(cfg, spec, data, hp, eta_const)
-            return lkd.ln_lkd, lkd.ok
-        (val, ok), g = jax.value_and_grad(f, has_aux=True)(v)
+        (val, ok), g = jax.value_and_grad(
+            lambda v: _lkd(v, data, eta_const), has_aux=True)(v)
         return val, g, ok
 
     @jax.jit
-    def cond_val_grad(v, data, eta_const):
-        def c(v):
-            hp = hp_vec_to_hypers(info, v)
-            ops = assembly.assemble_keta(
-                cfg, spec, data, hp, eta_const,
-                varK=hp.varK if spec.b_has_noisy_data else None)
-            return assembly.calc_cond(ops, cfg.cond_norm)
-        return jax.value_and_grad(c)(v)
+    def cond_val(v, data, eta_const):
+        return _cond(v, data, eta_const)
 
-    return lkd_val_grad, cond_val_grad
+    @jax.jit
+    def cond_val_grad(v, data, eta_const):
+        return jax.value_and_grad(
+            lambda v: _cond(v, data, eta_const))(v)
+
+    # fused variants for the constrained path: MLL and cond share the
+    # covariance assembly + Cholesky, so evaluating them in ONE program lets
+    # XLA CSE the O(n^2 d^2) assembly and O(n^3) factorization instead of
+    # paying them twice per iterate (and once more per jacobian pass)
+    @jax.jit
+    def both_val(v, data, eta_const):
+        val, ok = _lkd(v, data, eta_const)
+        cond = _cond(v, data, eta_const)
+        return val, ok, cond
+
+    @jax.jit
+    def both_val_grad(v, data, eta_const):
+        (val, ok), g = jax.value_and_grad(
+            lambda v: _lkd(v, data, eta_const), has_aux=True)(v)
+        cond, cg = jax.value_and_grad(
+            lambda v: _cond(v, data, eta_const))(v)
+        return val, g, ok, cond, cg
+
+    return (lkd_val, lkd_val_grad, cond_val, cond_val_grad, both_val,
+            both_val_grad)
 
 
 def _make_callbacks(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
-                    eta_const: float):
-    """Memoized scipy callbacks bound to one (data, eta) instance, backed by
-    the module-cached jitted programs (reference failure semantics: on
-    Cholesky failure the condition number becomes the objective)."""
-    _lkd_val_grad, _cond_val_grad = _jit_callbacks(cfg, spec, info)
+                    eta_const: float, use_cstr: bool):
+    """Memoized LAZY scipy callbacks bound to one (data, eta) instance,
+    backed by the module-cached jitted programs (reference failure
+    semantics: on Cholesky failure the condition number becomes the
+    objective, OptzLkd.py:74-77).
 
-    def lkd_val_grad(v):
-        return _lkd_val_grad(v, data, eta_const)
-
-    def cond_val_grad(v):
-        return _cond_val_grad(v, data, eta_const)
+    Laziness: per iterate x, each of {MLL value, MLL grad, cond value,
+    cond grad} is computed at most once and ONLY when scipy actually needs
+    it.  Line-search trial points get values only; the ~3x-cost gradients
+    run once per accepted iterate when scipy requests the jacobians.  The
+    cond VALUE is still evaluated at every new x when the constraint is
+    active -- the cond_max_abs feasibility rung of the failure ladder
+    (Kernel.py:282-283) is part of the objective's definition."""
+    (_lkd_val, _lkd_val_grad, _cond_val, _cond_val_grad, _both_val,
+     _both_val_grad) = _jit_callbacks(cfg, spec, info)
 
     class Memo:
-        """calc_store_likelihood memoization (OptzLkd.py:16-86): scipy calls
-        f and grad at the same x; evaluate once."""
         last_x = None
-        val = grad = cond = cond_grad = None
         n_cho_fail = 0
+        # program-level eval counters (telemetry: laziness effectiveness)
+        n_val = n_grad = n_cond = n_cond_grad = 0
 
-        def eval(self, x, need_cond):
+        def _sync(self, x):
             x = np.atleast_1d(np.asarray(x, float)).ravel()
             if self.last_x is not None and np.array_equal(x, self.last_x):
                 return
             self.last_x = x.copy()
-            val, g, ok = lkd_val_grad(jnp.asarray(x))
-            if need_cond or not bool(ok):
-                cond, cond_g = cond_val_grad(jnp.asarray(x))
-                self.cond = float(cond)
-                self.cond_grad = np.asarray(cond_g)
-                # cond beyond cond_max_abs: treat as infeasible regardless of
-                # whether the factorization numerically succeeded
-                # (Kernel.py:282-283)
-                if self.cond > cfg.cond_max_abs:
-                    ok = False
-            if bool(ok) and np.isfinite(float(val)):
-                self.val = float(val)
-                self.grad = np.asarray(g)
-            else:
-                # Cholesky failed: minimize the condition number instead
+            self._jx = jnp.asarray(x)
+            self._val = self._ok = self._grad = None
+            self._cond = self._cond_grad = None
+            self._failed = None
+
+        def _ensure_val(self):
+            if self._val is None:
+                self.n_val += 1
+                if use_cstr:
+                    # the constrained path always needs cond at this x (the
+                    # cond_max_abs feasibility rung + the constraint fun);
+                    # the fused program shares the assembly + Cholesky
+                    v, ok, c = _both_val(self._jx, data, eta_const)
+                    self._cond = float(c)
+                    self.n_cond += 1
+                else:
+                    v, ok = _lkd_val(self._jx, data, eta_const)
+                self._val = float(v)
+                self._ok = bool(ok)
+
+        def _ensure_grad(self):
+            if self._grad is None:
+                self.n_grad += 1
+                if use_cstr and self._cond_grad is None:
+                    # scipy asks the objective and constraint jacobians at
+                    # the same accepted iterate: one fused program
+                    v, g, ok, c, cg = _both_val_grad(self._jx, data,
+                                                     eta_const)
+                    self._cond = float(c)
+                    self._cond_grad = np.asarray(cg)
+                    self.n_cond_grad += 1
+                else:
+                    v, g, ok = _lkd_val_grad(self._jx, data, eta_const)
+                self._val = float(v)
+                self._ok = bool(ok)
+                self._grad = np.asarray(g)
+
+        def _ensure_cond(self):
+            if self._cond is None:
+                self.n_cond += 1
+                self._cond = float(_cond_val(self._jx, data, eta_const))
+
+        def _ensure_cond_grad(self):
+            if self._cond_grad is None:
+                self.n_cond_grad += 1
+                if use_cstr and self._grad is None and not self._failed:
+                    # mirror of _ensure_grad: fetch both jacobians fused
+                    # (scipy's constraint jac can be queried first)
+                    self._ensure_grad()
+                    return
+                c, cg = _cond_val_grad(self._jx, data, eta_const)
+                self._cond = float(c)
+                self._cond_grad = np.asarray(cg)
+
+        def _ensure_failed(self):
+            """Failure ladder: Cholesky not-ok, non-finite MLL, or (with the
+            constraint active) cond beyond cond_max_abs."""
+            if self._failed is not None:
+                return
+            self._ensure_val()
+            failed = (not self._ok) or not np.isfinite(self._val)
+            if use_cstr or failed:
+                self._ensure_cond()
+                if self._cond > cfg.cond_max_abs:
+                    failed = True
+            if failed:
                 self.n_cho_fail += 1
-                if not need_cond and self.cond is None:
-                    cond, cond_g = cond_val_grad(jnp.asarray(x))
-                    self.cond = float(cond)
-                    self.cond_grad = np.asarray(cond_g)
-                self.val = -self.cond
-                self.grad = -self.cond_grad
+            self._failed = failed
+
+        # scipy-facing accessors ------------------------------------------
+        def obj_val(self, x):
+            self._sync(x)
+            self._ensure_failed()
+            if self._failed:
+                self._ensure_cond()
+                return self._cond          # minimize cond instead
+            return -self._val
+
+        def obj_grad(self, x):
+            self._sync(x)
+            self._ensure_failed()
+            if self._failed:
+                self._ensure_cond_grad()
+                return self._cond_grad
+            self._ensure_grad()
+            return -self._grad
+
+        def cond(self, x):
+            self._sync(x)
+            self._ensure_cond()
+            return self._cond
+
+        def cond_grad(self, x):
+            self._sync(x)
+            self._ensure_cond_grad()
+            return self._cond_grad
 
     return Memo()
 
@@ -151,24 +264,10 @@ def fit_map_scipy(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
         x0_all = np.asarray(_select_x0_w_prev(cfg, spec, info, data,
                                               eta_const, bounds, seed,
                                               hp_prev))
-    memo = _make_callbacks(cfg, spec, info, data, eta_const)
     use_cstr = cfg.b_use_cond_cstr
-
-    def f_obj(x):
-        memo.eval(x, use_cstr)
-        return -memo.val
-
-    def f_grad(x):
-        memo.eval(x, use_cstr)
-        return -memo.grad
-
-    def f_cond(x):
-        memo.eval(x, True)
-        return memo.cond
-
-    def f_cond_grad(x):
-        memo.eval(x, True)
-        return memo.cond_grad
+    memo = _make_callbacks(cfg, spec, info, data, eta_const, use_cstr)
+    f_obj, f_grad = memo.obj_val, memo.obj_grad
+    f_cond, f_cond_grad = memo.cond, memo.cond_grad
 
     constraints = []
     if use_cstr:
@@ -225,6 +324,10 @@ def fit_map_scipy(cfg: GpConfig, spec: DataSpec, info: HpInfo, data: GpData,
         "hp_optz_iter_max": float(iters.max()),
         "hp_optz_con_good": float(con_good.mean()),
         "optz_n_cho_fail": int(memo.n_cho_fail),
+        "optz_n_val": int(memo.n_val),
+        "optz_n_grad": int(memo.n_grad),
+        "optz_n_cond": int(memo.n_cond),
+        "optz_n_cond_grad": int(memo.n_cond_grad),
         "optz_n_cond2big": int(np.sum(conds > cfg.cond_max)) if use_cstr else 0,
         "optz_max_init_cond": float("nan"),
     }

@@ -37,7 +37,7 @@ def _cross_cov_full(cfg: GpConfig, spec: DataSpec, x_train: jnp.ndarray,
     if mesh is not None:
         assert not calc_grad, "sharded cross-cov: mu/sig only"
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from ..parallel.sharded_matvec import DATA_AXIS
 
         def local(x_loc, xq_):
@@ -49,7 +49,7 @@ def _cross_cov_full(cfg: GpConfig, spec: DataSpec, x_train: jnp.ndarray,
 
         fn = shard_map(local, mesh=mesh,
                        in_specs=(P(DATA_AXIS), P(None, None)),
-                       out_specs=P(DATA_AXIS), check_rep=False)
+                       out_specs=P(DATA_AXIS), check_vma=False)
         return fn(x_train, xq), None
 
     R = rtensor.calc_rtensor(x_train, xq)

@@ -113,7 +113,14 @@ def _chol_dist_fn(mesh, block: int):
 def cholesky_ok_dist(A: jnp.ndarray, mesh, block: int = 64) -> CholFac:
     """``cholesky_ok`` with the factorization distributed over ``mesh``
     (parallel/chol_dist.py) -- the mid-n direct branch of SURVEY 5.7.
-    Same contract: sanitized factor + ok flag, differentiable."""
+    Same contract: sanitized factor + ok flag, differentiable.
+
+    GRADIENT CONTRACT: the custom VJP returns the SYMMETRIZED pullback
+    (dA symmetric), which is correct only when A is constructed
+    elementwise-symmetrically from the differentiated inputs -- true of
+    every covariance assembly here (K(xi,xj) = K(xj,xi) elementwise).  A
+    caller building A asymmetrically (A + tril(B), say) would get silently
+    wrong gradients; use jnp.linalg.cholesky for such inputs."""
     L = _chol_dist_fn(mesh, int(block))(A)
     d = jnp.diagonal(L)
     ok = jnp.all(jnp.isfinite(d)) & jnp.all(d > 0.0)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 CHAIN_AXIS = "chains"
 
@@ -51,7 +51,7 @@ def sharded_chain_map(fn: Callable, mesh: Mesh,
     """
     spec = P(axis_name)
     return shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
-                     check_rep=False)
+                     check_vma=False)
 
 
 def cross_chain_mean(axis_name: str = CHAIN_AXIS, local_axis: int | None = 0):
@@ -111,7 +111,7 @@ def run_nuts_sharded(logp_fn: Callable, z0: jnp.ndarray, keys: jnp.ndarray,
 
     spec = P(axis_name)
     fn = shard_map(per_shard, mesh=mesh, in_specs=(spec, spec),
-                   out_specs=spec, check_rep=False)
+                   out_specs=spec, check_vma=False)
     z0 = shard_batch(z0, mesh, axis_name)
     keys = shard_batch(keys, mesh, axis_name)
     return fn(z0, keys)

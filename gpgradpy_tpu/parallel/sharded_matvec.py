@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import kernels, rtensor
 
@@ -76,7 +76,7 @@ def kern_matvec_sharded(kernel_type: str, mesh: Mesh, x: jnp.ndarray,
     spec = P(DATA_AXIS)
     p2 = (jnp.ones_like(V) if pvec2_pm is None else pvec2_pm)
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                   out_specs=spec, check_rep=False)
+                   out_specs=spec, check_vma=False)
     return fn(x, V, p2)
 
 
@@ -136,7 +136,7 @@ def kern_matvec_sharded_batch(kernel_type: str, mesh: Mesh, x: jnp.ndarray,
     p2 = (jnp.ones(n * (1 + dim), V2.dtype) if pvec2_pm is None
           else pvec2_pm)
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                   out_specs=spec, check_rep=False)
+                   out_specs=spec, check_vma=False)
     return fn(x, V2, p2)
 
 
