@@ -83,15 +83,25 @@ def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default",
     - 'noexploit': cascade OFF — pure EI through the named method, the
                    closest protocol to the reference's exploration-driven
                    traces (shows the paper's method contrast directly)
+    - 'noexploit_lcb': cascade OFF with the reference's OWN acquisition —
+                   the lower-confidence bound mu - 2 sigma (its plotting
+                   driver defines UCB/LCB inline and has EI commented OUT,
+                   plt_acq.py:113-132), probing whether the bundled traces'
+                   deep merits come from the LCB's intrinsic exploitation
+                   (docs/PARITY.md 'pure-EI gap')
     """
     obj = partial(problems.rosenbrock, a=10.0)
     lb, ub = np.full(dim, -2.0), np.full(dim, 2.0)
     path = start_path(out_dir, dim, method, j)
     kw = dict(exploit_frac=0.5, exploit_local=True, exploit_wellcond="precon")
+    acq = "ei"
     if variant == "honest":
         kw["exploit_wellcond"] = None
     elif variant == "noexploit":
         kw = dict(exploit_frac=0.0, exploit_local=False)
+    elif variant == "noexploit_lcb":
+        kw = dict(exploit_frac=0.0, exploit_local=False)
+        acq = "ucb"
     if _PLATFORM == "tpu":
         # coarse shape buckets (few expensive f64 TPU compiles, persistent
         # cache shared across starts).  NOTE: measured (round 3) the f64
@@ -152,9 +162,9 @@ def run_one(dim, method, j, n_iter, out_dir, seed0=0, variant="default",
     t0 = time.time()
     trace = loop.run_bo(
         obj, lb, ub, n_iter, n_init=dim + 2,
-        wellcond_mtd=WELLCOND_BY_METHOD[method], acq="ei",
+        wellcond_mtd=WELLCOND_BY_METHOD[method], acq=acq,
         seed=seed0 + j, verbose=True, checkpoint_cb=cb,
-        checkpoint_every=10, resume_trace=resume, **kw)
+        checkpoint_every=4, resume_trace=resume, **kw)
     cb(trace, completed=True)
     m = trace.merit_all[np.isfinite(trace.merit_all)]
     o = trace.opt_all[np.isfinite(trace.opt_all)]
@@ -231,7 +241,8 @@ def main():
     ap.add_argument("--methods", nargs="+", default=METHODS)
     ap.add_argument("--worker", nargs=2, metavar=("METHOD", "START"))
     ap.add_argument("--variant", default="default",
-                    choices=["default", "honest", "noexploit"])
+                    choices=["default", "honest", "noexploit",
+                             "noexploit_lcb"])
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--cond-norm", default=None,
                     help="override GpConfig.cond_norm (e.g. 'fro' for d>=10)")
