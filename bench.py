@@ -171,7 +171,45 @@ def bench_chol(verbose=False, sizes=(1024, 2048, 4096)):
     return out
 
 
-def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
+def bench_dense_dist(verbose=False, n_eval=1024, dim=3):
+    """solver='dense_dist' on a mesh of ONE real TPU device vs the plain
+    dense fit at n_data=(dim+1)*n_eval: quantifies the overhead of routing
+    every factorization through the blocked shard_map Cholesky when there is
+    nothing to distribute (the worst case for the distributed path; with
+    >1 device its O(n^3/n_dev) forward amortizes this).  Warm single-fit
+    wall times (one big jitted program each; tunnel-safe per CLAUDE.md)."""
+    import jax
+    from gpgradpy_tpu.api import GaussianProcess
+    from gpgradpy_tpu.bo.problems import rosenbrock
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-2, 2, (n_eval, dim))
+    f, g = rosenbrock(x)
+    out = {"n_data": (dim + 1) * n_eval, "n_devices": len(jax.devices())}
+    for solver in ("dense", "dense_dist"):
+        gp = GaussianProcess(dim, True, "SqExp", "precon", dtype="float32",
+                             cond_max_target=1e6, solver=solver,
+                             dist_chol_block=512, cond_norm="fro",
+                             polish_cond_target=None)
+        gp.init_optz_surr(4)
+        gp.set_data(x, f, np.zeros(n_eval), g, np.zeros((n_eval, dim)))
+        gp.set_hpara("optz", 0)          # compile + first fit
+        t0 = time.time()
+        gp.set_hpara("optz", 1)          # warm fit
+        t_warm = time.time() - t0
+        out[f"t_fit_{solver}_s"] = round(t_warm, 3)
+        if verbose:
+            print(f"[dense_dist] {solver}: warm fit {t_warm:.3f} s",
+                  file=sys.stderr)
+    if out.get("t_fit_dense_s"):
+        out["overhead_pct"] = round(
+            100.0 * (out["t_fit_dense_dist_s"] / out["t_fit_dense_s"] - 1.0),
+            1)
+    return out
+
+
+def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3)),
+                   kernel_types=("SqExp",)):
     """Covariance-assembly throughput, Pallas tiled kernel vs XLA dense, at
     two sizes (n_data = (dim+1)*n_pts = 4096 / 8192).  Latency-cancelling
     scheme (CLAUDE.md measurement caveat): time a jitted scan of R repeated
@@ -192,20 +230,25 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
 
     out = []
     R_LO, R_HI = 2, 10
-    for n_pts, dim in sizes:
+    for (n_pts, dim), kern in [(sz, k) for sz in sizes
+                               for k in kernel_types]:
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.uniform(-2, 2, (n_pts, dim)), jnp.float32)
         theta0 = jnp.asarray(rng.uniform(0.5, 2.0, dim), jnp.float32)
         n_data = (dim + 1) * n_pts
         nbytes = n_data * n_data * 4
+        # RatQu carries a shape hyperparameter alpha (fixed representative
+        # value); SqExp/Ma5f2 take theta only
+        khp = jnp.float32(2.0) if kern == "RatQu" else None
 
-        def xla_assemble(th):
+        def xla_assemble(th, kern=kern, khp=khp):
             R = rtensor.calc_rtensor(x, x)
-            return kernels.kern_mat("SqExp", R, th, None, use_grad=True)
+            return kernels.kern_mat(kern, R, th, khp, use_grad=True)
 
-        def pallas_assemble(th):
+        def pallas_assemble(th, kern=kern, khp=khp):
             # block=None -> production _auto_block (512 at these sizes)
-            return pallas_assembly.kern_grad_pallas("SqExp", x, x, th)
+            return pallas_assembly.kern_grad_pallas(kern, x, x, th,
+                                                    alpha=khp)
 
         def make_many(assemble):
             K_init = jnp.zeros((n_data, n_data), jnp.float32)
@@ -249,15 +292,16 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
                 if diff < 5e-3:
                     # differenced work below the tunnel noise floor: the
                     # assembly is too cheap to time through the relay
-                    out.append({"n_data": n_data, "impl": name,
+                    out.append({"n_data": n_data, "kernel": kern,
+                                "impl": name,
                                 "ms_per_assembly": None, "gb_per_s": None,
                                 "note": "below tunnel noise floor"})
                     if verbose:
-                        print(f"[assembly] n_data={n_data} {name:6s}: below "
+                        print(f"[assembly] n_data={n_data} {kern} {name:6s}: below "
                               f"noise floor ({diff*1e3:.2f} ms diff)",
                               file=sys.stderr)
                     continue
-                rec_a = {"n_data": n_data, "impl": name,
+                rec_a = {"n_data": n_data, "kernel": kern, "impl": name,
                          "ms_per_assembly": round(per * 1e3, 3),
                          "gb_per_s": round(nbytes / per / 1e9, 1)}
                 if diff < 0.1:
@@ -267,13 +311,13 @@ def bench_assembly(verbose=False, sizes=((1024, 3), (2048, 3))):
                                      f"({diff*1e3:.0f} ms): +-noise")
                 out.append(rec_a)
                 if verbose:
-                    print(f"[assembly] n_data={n_data} {name:6s}: "
+                    print(f"[assembly] n_data={n_data} {kern} {name:6s}: "
                           f"{per*1e3:8.2f} ms -> {nbytes/per/1e9:7.1f} GB/s",
                           file=sys.stderr)
             except Exception as e:
-                out.append({"n_data": n_data, "impl": name,
+                out.append({"n_data": n_data, "kernel": kern, "impl": name,
                             "error": str(e)[:200]})
-                print(f"[assembly] n_data={n_data} {name}: FAILED {e}",
+                print(f"[assembly] n_data={n_data} {kern} {name}: FAILED {e}",
                       file=sys.stderr)
     return out
 
@@ -361,6 +405,11 @@ def main():
     ap.add_argument("--assembly", action="store_true",
                     help="also benchmark Pallas vs XLA covariance assembly "
                          "at n_data 4096/8192 (stderr)")
+    ap.add_argument("--all-kernels", action="store_true",
+                    help="with --assembly: measure Ma5f2/RatQu rows too")
+    ap.add_argument("--dense-dist", action="store_true",
+                    help="also measure solver='dense_dist' (mesh of 1) vs "
+                         "the dense fit at n_data=4096")
     args = ap.parse_args()
 
     t_ours, rmse_ours, platform = bench_ours(verbose=args.verbose,
@@ -391,7 +440,16 @@ def main():
             extras["scaling_efficiency"] = scal.get("scaling_efficiency")
             extras["scaling_virtual_mesh"] = scal.get("virtual_mesh")
     if args.assembly:
-        extras["assembly_gb_per_s"] = bench_assembly(verbose=True)
+        kt = (("SqExp", "Ma5f2", "RatQu") if args.all_kernels
+              else ("SqExp",))
+        extras["assembly_gb_per_s"] = bench_assembly(verbose=True,
+                                                     kernel_types=kt)
+    if args.dense_dist:
+        try:
+            extras["dense_dist_fit"] = bench_dense_dist(verbose=True)
+        except Exception as e:
+            print(f"[dense_dist] failed: {e}", file=sys.stderr)
+            extras["dense_dist_fit"] = {"error": str(e)[:200]}
 
     # quality gate: a fast but broken fit must not count.  The default
     # (polish) mode matches the f64 reference quality (~0.2% rel RMSE on

@@ -278,6 +278,23 @@ class GaussianProcess:
             # frame transform and the assembly masks the padded rows, so the
             # vreq/vmin computations (which use the unpadded x) are unchanged
             n_pad = (-n_eval) % cfg.pad_n_eval_multiple
+        if cfg.solver == "dense_dist":
+            # auto-pad so n_data_tot lands on the mesh.size * dist_chol_block
+            # grid the distributed blocked Cholesky factorizes over
+            # (parallel/chol_dist.py grid contract).  Padding points add ONE
+            # identity row each (value row, no gradient rows -- DataSpec
+            # layout), so any n_data_tot can be reached exactly; the padded
+            # rows are masked like bucket padding (tests/test_padding.py)
+            # and callers no longer size their data by hand.  Applied on top
+            # of any bucket padding so shape bucketing keeps working.
+            if bvec_use_grad is None:
+                n_grad_rows = cfg.dim * n_eval if cfg.use_grad else 0
+            else:
+                n_grad_rows = cfg.dim * int(
+                    np.count_nonzero(np.asarray(bvec_use_grad)))
+            grid = self._iter_mesh().size * cfg.dist_chol_block
+            n_rows = n_eval + n_grad_rows + n_pad
+            n_pad += (-n_rows) % grid
         self.spec = make_data_spec(cfg.dim, cfg.use_grad, n_eval,
                                    std_fval=self._std_fval_in,
                                    std_grad=self._std_grad_in,

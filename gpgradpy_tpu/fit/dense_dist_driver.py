@@ -100,8 +100,9 @@ def fit_map_dense_dist(cfg: GpConfig, spec: DataSpec, info: HpInfo,
     blk = cfg.dist_chol_block
     assert spec.n_data_tot % (n_dev * blk) == 0, (
         f"dense_dist: n_data_tot={spec.n_data_tot} must be a multiple of "
-        f"mesh.size*dist_chol_block={n_dev * blk}; set pad_n_eval_multiple "
-        f"so (dim+1)*n_eval_tot buckets onto it")
+        f"mesh.size*dist_chol_block={n_dev * blk}.  The facade auto-pads "
+        f"onto this grid in set_data (api.py); direct driver callers must "
+        f"size (or pad) the spec themselves")
 
     # telemetry cond via the factor (Frobenius), never eigh at mid n
     if cfg.cond_norm != "fro":

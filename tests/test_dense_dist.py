@@ -115,3 +115,33 @@ def test_facade_fit_dense_dist_matches_dense():
     mu_d = gp_d.eval_model(xq)[0]
     mu_m = gp_m.eval_model(xq)[0]
     np.testing.assert_allclose(mu_m, mu_d, rtol=1e-6, atol=1e-10)
+
+
+def test_facade_fit_dense_dist_autopad():
+    """Arbitrary n_eval: set_data auto-pads onto the mesh.size *
+    dist_chol_block grid (round-5 productionization -- the caller no longer
+    sizes data by hand) and the fit matches the dense path on the same
+    unpadded data."""
+    dim, n_eval = 3, 27      # 27 evals * 4 rows = 108: NOT on the 128 grid
+    x, f, g = _problem(n_eval, dim)
+
+    def fit(solver):
+        gp = GaussianProcess(dim, True, "SqExp", "precon", dtype="float64",
+                             solver=solver, dist_chol_block=16,
+                             cond_norm="fro")
+        gp.init_optz_surr(2)
+        gp.set_data(x, f, np.zeros(n_eval), g, np.zeros((n_eval, dim)))
+        gp.set_hpara("optz", 0)
+        return gp
+
+    gp_m = fit("dense_dist")
+    # 8 devices x block 16 = grid of 128 rows; 27*4 = 108 real rows pad to it
+    assert gp_m.spec.n_eval == n_eval
+    assert gp_m.spec.n_data_tot % (8 * 16) == 0
+    gp_d = fit("dense")
+    th_d = np.asarray(gp_d.hp_vals.theta)
+    th_m = np.asarray(gp_m.hp_vals.theta)
+    np.testing.assert_allclose(th_m, th_d, rtol=1e-5)
+    xq = np.random.default_rng(11).uniform(-1.5, 1.5, (5, dim))
+    np.testing.assert_allclose(gp_m.eval_model(xq)[0], gp_d.eval_model(xq)[0],
+                               rtol=1e-6, atol=1e-10)
