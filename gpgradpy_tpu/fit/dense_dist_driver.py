@@ -119,17 +119,24 @@ def fit_map_dense_dist(cfg: GpConfig, spec: DataSpec, info: HpInfo,
         n0 = cfg.lkd_hp_best_n_eval if hp_best else 1
         x0_np = np.asarray(lhs.lhs_sample(n0, bounds.lhs_lb, bounds.lhs_ub,
                                           seed))
+        # STATIC candidate-pool shape: the fused program is shape-keyed, and
+        # through the remote-compile tunnel a reshape-triggered recompile
+        # costs ~85 s (measured) -- so the hp_prev slot always exists.  With
+        # no previous round it duplicates the first LHS row (a no-op for the
+        # argmin / the non-hp_best start).
         if hp_prev is not None:
             hp_prev_row = np.clip(np.asarray(hp_prev, float).ravel(),
                                   bounds.box_lb, bounds.box_ub)[None, :]
-            if hp_best:
-                # joins the hp_best argmin pool (an LHS sample that beats
-                # the previous round's hp still wins)
-                x0_np = np.vstack([x0_np, hp_prev_row])
-            else:
-                # the non-hp_best branch starts from x0_all[0]; the warm
-                # start must BE that row or it is silently never used
-                x0_np = hp_prev_row
+        else:
+            hp_prev_row = x0_np[:1]
+        if hp_best:
+            # joins the hp_best argmin pool (an LHS sample that beats the
+            # previous round's hp still wins)
+            x0_np = np.vstack([x0_np, hp_prev_row])
+        else:
+            # the non-hp_best branch starts from x0_all[0]; the warm start
+            # must BE that row or it is silently never used
+            x0_np = hp_prev_row
         x0_all = jnp.asarray(x0_np, dt)
 
     lb = jnp.asarray(bounds.box_lb, dt)

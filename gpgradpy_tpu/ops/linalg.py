@@ -96,7 +96,11 @@ def _chol_dist_fn(mesh, block: int):
         return L, L
 
     def bwd(L, Lbar):
-        W = jnp.tril(L.T @ Lbar)
+        # HIGHEST precision: the TPU default matmul runs bf16-input passes,
+        # which at the production f32/cond-1e6 operating point corrupts the
+        # pullback enough to stall L-BFGS (see chol_dist.py trailing update)
+        W = jnp.tril(jnp.matmul(L.T, Lbar,
+                                precision=jax.lax.Precision.HIGHEST))
         W = W - 0.5 * jnp.diag(jnp.diagonal(W))
         Y = solve_triangular(L, W, lower=True, trans=1)        # L^T Y = Phi
         Abar = solve_triangular(L, Y.T, lower=True, trans=1).T  # Y L^-1

@@ -100,7 +100,13 @@ def cholesky_dist(mesh: Mesh, A: jnp.ndarray, block: int = 64):
             # -- trailing update with the gathered panel ------------------
             Pfull = jax.lax.all_gather(jnp.where(below, Pl, 0.0), DATA_AXIS,
                                        tiled=True)  # (n, block), zeros above
-            upd = (jnp.where(below, Pl, 0.0) @ Pfull.T)
+            # HIGHEST precision is load-bearing: the TPU default matmul runs
+            # bf16-input passes (~8 mantissa bits), which destroys the f32
+            # factorization at the production cond_max_target=1e6 (measured:
+            # ok=False on the real Keta while dense cholesky -- which uses
+            # full precision internally -- succeeds)
+            upd = jnp.matmul(jnp.where(below, Pl, 0.0), Pfull.T,
+                             precision=jax.lax.Precision.HIGHEST)
             cmask = (jnp.arange(n) >= c0 + block)[None, :]
             return A_loc - jnp.where(cmask, upd, 0.0)
 
