@@ -60,44 +60,46 @@ def _phi_tile(kernel_type: str, W, alpha):
 
 
 def _n_scratch(kernel_type: str) -> int:
-    """Minimal VMEM scratch tiles per kernel family.  phi/phi'/phi'' are
-    algebraic combinations of at most two stored quantities, and scratch
-    count is what bounds the tile area (VMEM budget ~= out double-buffer +
-    scratches), so storing less buys bigger tiles -> fewer grid steps:
-    - SqExp:  phi' = -phi, phi'' = phi            -> 1 tile (phi)
-    - Ma5f2:  all three from (e^{-sqrt5 nu}, nu)  -> 2 tiles
-    - RatQu:  all three from (B^-alpha, B)        -> 2 tiles
-    """
-    return 1 if kernel_type == "SqExp" else 2
+    """VMEM scratch tiles per kernel family.  SqExp needs one (phi' = -phi,
+    phi'' = phi).  Ma5f2/RatQu store (phi, phi', phi'') DIRECTLY in three
+    tiles: an earlier 2-tile variant reconstructed them algebraically in
+    every derivative tile, and the reconstruction (several VPU multiplies,
+    and for RatQu two DIVIDES per element) ran (1+d)^2 times per point-block
+    -- measured 380/333 GB/s (Ma5f2/RatQu) at n_data=8192 vs SqExp's 639.
+    Three 512^2 scratch tiles are proven to fit (the VJP kernel uses the
+    same budget, _auto_block_sq)."""
+    return 1 if kernel_type == "SqExp" else 3
 
 
-def _phi_from_scratch(kernel_type: str, s0, s1, alpha):
-    """Reconstruct (phi, phi', phi'') from the stored scratch quantities."""
+def _phi_from_scratch(kernel_type: str, scratches, alpha):
+    """(phi, phi', phi'') from the stored scratch tiles (pure loads except
+    SqExp's negation, which is a single VPU op)."""
     if kernel_type == "SqExp":
+        s0 = scratches[0][:, :]
         return s0, -s0, s0
-    if kernel_type == "Ma5f2":
-        e, nu = s0, s1
-        phi = (1.0 + _SQRT5 * nu + (5.0 / 3.0) * (nu * nu)) * e
-        phi1 = -(5.0 / 6.0) * (1.0 + _SQRT5 * nu) * e
-        phi2 = (25.0 / 12.0) * e
-        return phi, phi1, phi2
-    if kernel_type == "RatQu":
-        Bma, B = s0, s1
-        return Bma, -Bma / B, (1.0 + 1.0 / alpha) * Bma / (B * B)
-    raise ValueError(kernel_type)
+    return (scratches[0][:, :], scratches[1][:, :], scratches[2][:, :])
 
 
 def _scratch_tile(kernel_type: str, W, alpha):
-    """The stored quantities (s0[, s1]) as functions of W."""
+    """The stored quantities as functions of W (computed once per
+    point-block pair, at derivative tile (0, 0))."""
     if kernel_type == "SqExp":
         return (jnp.exp(-W),)
     if kernel_type == "Ma5f2":
         pos = W > 0.0
         nu = jnp.where(pos, jnp.sqrt(jnp.where(pos, W, 1.0)), 0.0)
-        return jnp.exp(-_SQRT5 * nu), nu
+        e = jnp.exp(-_SQRT5 * nu)
+        phi = (1.0 + _SQRT5 * nu + (5.0 / 3.0) * W) * e
+        phi1 = -(5.0 / 6.0) * (1.0 + _SQRT5 * nu) * e
+        phi2 = (25.0 / 12.0) * e
+        return phi, phi1, phi2
     if kernel_type == "RatQu":
         B = 1.0 + W / alpha
-        return B ** (-alpha), B
+        Bma = B ** (-alpha)
+        rB = 1.0 / B
+        phi1 = -Bma * rB
+        phi2 = (1.0 + 1.0 / alpha) * Bma * rB * rB
+        return Bma, phi1, phi2
     raise ValueError(kernel_type)
 
 
@@ -119,9 +121,8 @@ def _kern_tile_kernel(theta_ref, alpha_ref, x1_ref, x2_ref, out_ref,
                             _scratch_tile(kernel_type, W, alpha_ref[0, 0])):
             s_ref[:, :] = s
 
-    s0 = scratches[0][:, :]
-    s1 = scratches[1][:, :] if len(scratches) > 1 else None
-    phi, phi1, phi2 = _phi_from_scratch(kernel_type, s0, s1, alpha_ref[0, 0])
+    phi, phi1, phi2 = _phi_from_scratch(kernel_type, scratches,
+                                        alpha_ref[0, 0])
 
     a0 = (a == 0)
     b0 = (b == 0)
@@ -193,8 +194,10 @@ def _auto_block(n1: int, n2: int, kernel_type: str = "SqExp"):
     n_data=8192 (512,512) -> 608 GB/s and (512,1024) -> 641 (78% of the
     ~820 GB/s HBM roofline; the where-chain version peaked at 378); at
     n_data=4096 (512,1024) -> 671.  (1024,1024) fails the Mosaic compile
-    (VMEM), and 2-scratch families (Ma5f2/RatQu) carry one more (b1,b2)
-    scratch, so they keep the measured-safe (512,512)."""
+    (VMEM); the 3-scratch families (Ma5f2/RatQu, see _n_scratch) also fail
+    at (512,1024) and keep (512,512), where storing phi/phi'/phi'' directly
+    measures 557/503 GB/s at n_data=8192 (up from 380/333 with 2-scratch
+    algebraic reconstruction)."""
     m = min(n1, n2)
     wide = _n_scratch(kernel_type) == 1
     if m >= 1024:
