@@ -373,7 +373,11 @@ def bench_nuts(verbose=False):
     lb, ub = np.full(info.n_hp, -4.0), np.full(info.n_hp, 2.0)
     logpost, *_ = nuts.make_gp_logpost(cfg, spec, info, data, eta, lb, ub)
 
-    n_chains, n_samples = 32, 128
+    # 256 chains is the BASELINE.json metric configuration ("NUTS ... 256
+    # chains"); throughput saturates there (measured 362/656/667 samples/s
+    # at 32/128/256 chains on the v5e -- the tiny per-chain matrices are
+    # batch-starved below ~128 chains)
+    n_chains, n_samples = 256, 128
     keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
     z0 = jnp.zeros((n_chains, info.n_hp), dt)
     run = jax.jit(jax.vmap(lambda z, k: nuts.run_nuts(
